@@ -1,0 +1,169 @@
+"""HGICodec — the flagship end-to-end codec model.
+
+The counterpart of the reference's ``Encoder``/``Decoder`` pair
+(reference: src/encoder.rs:18-71, src/decoder.rs:14-46), re-packaged the
+JAX way: a codec instance is a bundle of jit-compiled, shape-specialized
+device functions (compute path) plus host-side container/entropy stages
+(rustyhgi_tpu.utils.container).
+
+Device compute is delegated to :mod:`rustyhgi_tpu.ops.pyramid` (XLA) or the
+fused Pallas kernels in :mod:`rustyhgi_tpu.ops.pallas_kernels` when enabled.
+Compiled executables are cached per input shape; first call per shape pays
+XLA compile time, subsequent calls are pure device execution.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import pyramid
+from ..ops.quantizers import QuantizationLevel, linear_error, quantize_fn
+from ..utils.container import Archive, Interpolation, Metadata
+
+__all__ = ["HGICodec", "CodecMetrics"]
+
+
+class CodecMetrics(dict):
+    """Metrics produced by :meth:`HGICodec.test` (mirrors main.rs:105-111)."""
+
+    def __str__(self) -> str:  # the reference's printout format
+        return (
+            f"Uncompressed: {self['uncompressed'] // 1024} kb\n"
+            f"Compressed:   {self['compressed'] // 1024} kb\n"
+            f"Ratio:        {self['ratio']:.2f}\n"
+            f"SD:           {self['sd']:.2f}"
+        )
+
+
+class HGICodec:
+    """Hierarchical Grid Interpolation codec, TPU-native.
+
+    Parameters mirror the reference CLI surface (options.rs:53-65):
+    ``levels`` is the pyramid depth (--level, default 4) and
+    ``quantization`` the quality preset (--quantizator, default medium).
+    """
+
+    def __init__(
+        self,
+        levels: int = 4,
+        quantization: QuantizationLevel | str = QuantizationLevel.MEDIUM,
+        use_pallas: bool = False,
+    ):
+        if isinstance(quantization, str):
+            quantization = QuantizationLevel.parse(quantization)
+        if not 0 <= levels <= 16:
+            raise ValueError(f"levels must be in [0, 16], got {levels}")
+        self.levels = int(levels)
+        self.quantization = quantization
+        self.use_pallas = use_pallas
+        self._encode_cache: Dict[Tuple[int, int], jax.stages.Wrapped] = {}
+        self._decode_cache: Dict[Tuple[int, int], jax.stages.Wrapped] = {}
+
+    # -- device compute path ------------------------------------------------
+
+    def _encode_fn(self, shape: Tuple[int, int]):
+        fn = self._encode_cache.get(shape)
+        if fn is None:
+            levels, quant = self.levels, quantize_fn(self.quantization)
+            if self.use_pallas:
+                from ..ops import pallas_kernels
+
+                fn = jax.jit(
+                    lambda img: pallas_kernels.encode_plane(img, levels, quant)
+                )
+            else:
+                fn = jax.jit(lambda img: pyramid.encode_plane(img, levels, quant))
+            self._encode_cache[shape] = fn
+        return fn
+
+    def _decode_fn(self, shape: Tuple[int, int]):
+        fn = self._decode_cache.get(shape)
+        if fn is None:
+            levels = self.levels
+            fn = jax.jit(lambda grid: pyramid.decode_plane(grid, levels))
+            self._decode_cache[shape] = fn
+        return fn
+
+    def encode_plane(self, image) -> Tuple[jax.Array, jax.Array]:
+        """uint8 [H, W] (or [B, H, W]) image -> (residual grid, reconstruction).
+
+        Pure device computation; batched inputs are vmapped.
+        """
+        image = jnp.asarray(image, dtype=jnp.uint8)
+        if image.ndim == 2:
+            return self._encode_fn(image.shape)(image)
+        if image.ndim == 3:
+            fn = self._encode_fn(image.shape[1:])
+            return jax.vmap(fn)(image)
+        raise ValueError(f"expected [H, W] or [B, H, W], got {image.shape}")
+
+    def decode_plane(self, grid) -> jax.Array:
+        """uint8 [H, W] (or [B, H, W]) residual grid -> image."""
+        grid = jnp.asarray(grid, dtype=jnp.uint8)
+        if grid.ndim == 2:
+            return self._decode_fn(grid.shape)(grid)
+        if grid.ndim == 3:
+            fn = self._decode_fn(grid.shape[1:])
+            return jax.vmap(fn)(grid)
+        raise ValueError(f"expected [H, W] or [B, H, W], got {grid.shape}")
+
+    # -- archive path (device compute + host entropy/container) -------------
+
+    def _metadata(self, height: int, width: int) -> Metadata:
+        return Metadata(
+            quantization_level=self.quantization,
+            interpolation=Interpolation.CROSSED,
+            width=width,
+            height=height,
+            scale_level=self.levels,
+        )
+
+    def encode(self, image: np.ndarray) -> Archive:
+        """Encode a uint8 [H, W] plane into an :class:`Archive`."""
+        image = np.asarray(image, dtype=np.uint8)
+        grid, _ = self.encode_plane(image)
+        h, w = image.shape
+        return Archive(self._metadata(h, w), np.asarray(grid))
+
+    def decode(self, archive: Archive) -> np.ndarray:
+        """Decode an :class:`Archive` back to a uint8 [H, W] plane.
+
+        Like the reference (main.rs:63-71), decode needs only the grid,
+        width/height, and scale_level; the quantizer is encode-side only.
+        """
+        if archive.metadata.scale_level != self.levels:
+            decoder = HGICodec(archive.metadata.scale_level, self.quantization)
+            return decoder.decode(archive)
+        return np.asarray(self.decode_plane(archive.grid))
+
+    def test(self, image: np.ndarray, fmt: str = "hgi") -> CodecMetrics:
+        """Roundtrip + metrics, mirroring ``hgi test`` (main.rs:73-120).
+
+        Unlike the reference's vacuous check (lib.rs:61 bug, SURVEY.md §4),
+        the distortion here is decoded-vs-ORIGINAL.
+        """
+        from ..utils.container import write_archive
+
+        image = np.asarray(image, dtype=np.uint8)
+        grid, recon = self.encode_plane(image)
+        archive = Archive(self._metadata(*image.shape), np.asarray(grid))
+        decoded = np.asarray(recon)  # bit-identical to decode by construction
+        blob = write_archive(archive, fmt)
+
+        diff = image.astype(np.int32) - decoded.astype(np.int32)
+        uncompressed = image.size
+        sd_int = int((diff.astype(np.int64) ** 2).sum()) // uncompressed
+        return CodecMetrics(
+            uncompressed=uncompressed,
+            compressed=len(blob),
+            ratio=uncompressed / len(blob),
+            sd=float(np.sqrt(sd_int)),  # integer-mean then sqrt, main.rs:106,111
+            max_error=int(np.abs(diff).max()) if diff.size else 0,
+            error_bound=linear_error(self.quantization),
+            decoded=decoded,
+            archive_bytes=blob,
+        )

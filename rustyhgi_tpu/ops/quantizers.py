@@ -1,0 +1,105 @@
+"""Residual quantizers.
+
+TPU-native re-design of the reference's quantizer strategies
+(reference: src/quantizator.rs:1-73).  The reference materializes a 256-entry
+LUT indexed by the wrapped residual byte; on TPU we prefer the closed-form
+arithmetic (integer multiply/shift after XLA strength reduction) which fuses
+into the per-level elementwise kernel, but we also expose the LUT for
+table-driven quantizers and for the host oracle.
+
+Quantizer contract (quantizator.rs:12-15): ``quantize(residual_byte) ->
+quantized_byte`` plus a max-error bound ``error()``.
+
+Linear quantizer (quantizator.rs:36-73): error ``e`` in
+{Lossless: 0, Low: 10, Medium: 20, High: 30}; ``scale = 2e+1``;
+``q(x) = ((x + e) // scale) * scale`` computed in wide ints then truncated to
+u8.  At e=0 this is the identity, giving exactly lossless reconstruction.
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Callable
+
+import numpy as np
+
+__all__ = [
+    "QuantizationLevel",
+    "linear_error",
+    "linear_table",
+    "linear_quantize",
+    "noop_quantize",
+    "quantize_fn",
+]
+
+
+class QuantizationLevel(enum.IntEnum):
+    """Quality presets; integer values are the container enum tags.
+
+    Tag order must match the reference's serde enum order
+    (quantizator.rs:1-9) for .hgi container compatibility: Lossless=0,
+    Low=1, Medium=2, High=3.
+    """
+
+    LOSSLESS = 0
+    LOW = 1
+    MEDIUM = 2
+    HIGH = 3
+
+    @classmethod
+    def parse(cls, name: str) -> "QuantizationLevel":
+        try:
+            return cls[name.upper()]
+        except KeyError:
+            raise ValueError(
+                f"unknown quantization level {name!r}; "
+                f"expected one of {[m.name.lower() for m in cls]}"
+            ) from None
+
+
+_ERRORS = {
+    QuantizationLevel.LOSSLESS: 0,
+    QuantizationLevel.LOW: 10,
+    QuantizationLevel.MEDIUM: 20,
+    QuantizationLevel.HIGH: 30,
+}
+
+
+def linear_error(level: QuantizationLevel) -> int:
+    """Max abs reconstruction error for a preset (quantizator.rs:43-48)."""
+    return _ERRORS[QuantizationLevel(level)]
+
+
+def linear_table(level: QuantizationLevel) -> np.ndarray:
+    """The 256-entry LUT of quantizator.rs:50-61 as uint8[256]."""
+    e = linear_error(level)
+    scale = 2 * e + 1
+    x = np.arange(256, dtype=np.int64)
+    return (((x + e) // scale) * scale).astype(np.uint8)  # `as u8` truncation
+
+
+def linear_quantize(diff, error: int):
+    """Closed-form Linear quantizer on int32 residual bytes in [0, 255].
+
+    Works on NumPy and JAX arrays alike.  The ``& 255`` reproduces the
+    reference's ``as u8`` truncation (quantizator.rs:54).
+    """
+    scale = 2 * error + 1
+    return (((diff + error) // scale) * scale) & 255
+
+
+def noop_quantize(diff, error: int = 0):
+    """NoOp quantizer (quantizator.rs:17-34) — identity."""
+    return diff
+
+
+def quantize_fn(level: QuantizationLevel) -> Callable:
+    """Return ``f(diff_int32) -> quantized_int32`` for a preset.
+
+    The returned callable is traceable by JAX (pure elementwise integer
+    math) and fuses into the per-level kernel.
+    """
+    e = linear_error(level)
+    if e == 0:
+        return lambda diff: diff
+    return lambda diff: linear_quantize(diff, e)

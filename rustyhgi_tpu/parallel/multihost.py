@@ -1,0 +1,94 @@
+"""Multi-host (pod-slice) drive loop.
+
+The reference has no distributed tier at all (SURVEY.md §2); this module is
+the designed-from-scratch N-host driver for gigapixel tiled streams
+(SURVEY.md §7 step 6):
+
+* ``jax.distributed.initialize`` once per process; the global (data, tile)
+  mesh spans all hosts, so intra-slice collectives ride ICI and only the
+  final variable-length block gather crosses DCN — and that gather is
+  host-side (compressed blocks have data-dependent lengths, which an SPMD
+  device program cannot ship — SURVEY.md §7 hard part (c)).
+* Tiles are assigned by global index: host h owns tiles
+  ``[h*B/N, (h+1)*B/N)`` in the deterministic row-major tile order of
+  ``tile_plane``, so the gathered archive order is reproducible for any
+  host count.
+* The shared entropy table is built from the psum'd global histogram, so
+  every host compresses with identical coder state ("broadcast coder
+  tables").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..ops.quantizers import QuantizationLevel
+from ..utils.container import Archive, Interpolation, Metadata, write_archive
+
+__all__ = ["MultiHostConfig", "initialize", "encode_tiled_multihost"]
+
+
+@dataclasses.dataclass
+class MultiHostConfig:
+    coordinator_address: Optional[str] = None
+    num_processes: Optional[int] = None
+    process_id: Optional[int] = None
+
+
+def initialize(config: MultiHostConfig = MultiHostConfig()) -> None:
+    """Initialize jax.distributed (no-op for single-process runs)."""
+    import jax
+
+    if config.num_processes is None or config.num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=config.coordinator_address,
+        num_processes=config.num_processes,
+        process_id=config.process_id,
+    )
+
+
+def encode_tiled_multihost(
+    plane: np.ndarray,
+    tile: Tuple[int, int],
+    levels: int,
+    quantization: QuantizationLevel,
+    fmt: str = "thgi",
+) -> Optional[List[bytes]]:
+    """Encode a large plane as tiled independent streams across all hosts.
+
+    Every process computes its local shard on its local devices; process 0
+    returns the compressed blocks for ALL tiles in deterministic row-major
+    tile order (other processes return None).  Single-process calls simply
+    use all local devices.
+    """
+    import jax
+
+    from .mesh import make_mesh
+    from .sharded import encode_batch_sharded, pad_batch, tile_plane
+
+    tiles, shape = tile_plane(plane, tile)
+    n_tiles = tiles.shape[0]
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    padded, n_pad = pad_batch(tiles, n_dev)
+
+    grids, _, hist = encode_batch_sharded(padded, levels, quantization, mesh=mesh)
+    # Deterministic ordered gather: pull the batch in global index order.
+    # (For multi-process arrays this is a cross-host DCN fetch of only the
+    # compressed-plane bytes; fully-addressable single-host arrays are a
+    # device->host copy.)
+    grids_host = np.asarray(jax.device_get(grids))[: n_tiles]
+
+    if jax.process_index() != 0:
+        return None
+
+    th, tw = tile
+    blocks: List[bytes] = []
+    for i in range(n_tiles):
+        meta = Metadata(quantization, Interpolation.CROSSED, tw, th, levels)
+        blocks.append(write_archive(Archive(meta, grids_host[i]), fmt))
+    return blocks

@@ -1,0 +1,179 @@
+"""SPMD batched/tiled encode over a device mesh.
+
+Replaces the reference's single-threaded drive loop (there is none to port —
+SURVEY.md §2) with ``shard_map`` data parallelism: a [B, H, W] batch of
+image planes is sharded over the (data, tile) mesh, every device runs the
+dense lattice-pyramid kernel on its local shard, and a ``psum`` over the
+mesh produces the global residual-byte histogram that parameterizes the
+shared rANS entropy table (BASELINE.json: "broadcasting shared quantization
+tables and coder models").  Compressed blocks are gathered on host in
+deterministic batch order.
+
+Tiling (the gigapixel axis): ``tile_plane``/``untile_plane`` split an
+arbitrarily large plane into fixed-size tiles that are *independent* HGI
+streams — no halo exchange, matching the multi-host plan of SURVEY.md §5.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import pyramid
+from ..ops.quantizers import QuantizationLevel, quantize_fn
+from .mesh import DATA_AXIS, TILE_AXIS, make_mesh
+
+__all__ = [
+    "encode_batch_sharded",
+    "decode_batch_sharded",
+    "tile_plane",
+    "untile_plane",
+    "sharded_histogram",
+]
+
+
+def _batch_pspec() -> P:
+    # Batch axis split over both mesh axes; H, W replicated (unsharded).
+    return P((DATA_AXIS, TILE_AXIS))
+
+
+def encode_batch_sharded(
+    images,
+    levels: int,
+    quantization: QuantizationLevel,
+    mesh: Optional[Mesh] = None,
+    with_histogram: bool = True,
+):
+    """Encode a [B, H, W] uint8 batch sharded over the mesh.
+
+    Returns ``(grids, recons, histogram)`` where grids/recons are sharded
+    [B, H, W] uint8 arrays (batch order preserved — the gather back to host
+    is deterministic because the sharding itself is an ordered partition of
+    the batch axis) and ``histogram`` is the replicated int32[256] count of
+    residual bytes across the *global* batch (psum over both mesh axes),
+    used to build shared entropy-coder tables.
+
+    B must be divisible by the mesh size; callers pad with zero planes and
+    drop them after (see :func:`tile_plane` which returns the pad count).
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    quant = quantize_fn(quantization)
+    spec = _batch_pspec()
+
+    def local_encode(imgs):
+        grids, recons = jax.vmap(
+            lambda im: pyramid.encode_plane(im, levels, quant)
+        )(imgs)
+        if with_histogram:
+            # Device-side residual histogram; summed over the whole mesh so
+            # every device (and host) sees the same coder table input.
+            hist = jnp.zeros((256,), jnp.int32).at[grids.reshape(-1)].add(1)
+            hist = jax.lax.psum(hist, (DATA_AXIS, TILE_AXIS))
+        else:
+            hist = jnp.zeros((256,), jnp.int32)
+        return grids, recons, hist
+
+    shard = jax.shard_map(
+        local_encode,
+        mesh=mesh,
+        in_specs=(spec,),
+        out_specs=(spec, spec, P()),
+    )
+    images = jax.device_put(
+        jnp.asarray(images, jnp.uint8), NamedSharding(mesh, spec)
+    )
+    return jax.jit(shard)(images)
+
+
+def decode_batch_sharded(
+    grids,
+    levels: int,
+    mesh: Optional[Mesh] = None,
+):
+    """Decode a [B, H, W] uint8 residual-grid batch sharded over the mesh."""
+    if mesh is None:
+        mesh = make_mesh()
+    spec = _batch_pspec()
+
+    def local_decode(gs):
+        return jax.vmap(lambda g: pyramid.decode_plane(g, levels))(gs)
+
+    shard = jax.shard_map(
+        local_decode, mesh=mesh, in_specs=(spec,), out_specs=spec
+    )
+    grids = jax.device_put(
+        jnp.asarray(grids, jnp.uint8), NamedSharding(mesh, spec)
+    )
+    return jax.jit(shard)(grids)
+
+
+def sharded_histogram(grids, mesh: Optional[Mesh] = None) -> jax.Array:
+    """Replicated int32[256] histogram of a sharded uint8 batch."""
+    if mesh is None:
+        mesh = make_mesh()
+
+    def local(gs):
+        h = jnp.zeros((256,), jnp.int32).at[gs.reshape(-1)].add(1)
+        return jax.lax.psum(h, (DATA_AXIS, TILE_AXIS))
+
+    return jax.jit(
+        jax.shard_map(
+            local, mesh=mesh, in_specs=(_batch_pspec(),), out_specs=P()
+        )
+    )(grids)
+
+
+# --------------------------------------------------------------------------
+# Spatial tiling: gigapixel planes -> independent fixed-size tile streams.
+# --------------------------------------------------------------------------
+
+
+def tile_plane(
+    plane: np.ndarray, tile: Tuple[int, int]
+) -> Tuple[np.ndarray, Tuple[int, int]]:
+    """Split an [H, W] plane into [nT, th, tw] zero-padded tiles.
+
+    Tiles are row-major over the tile grid — the deterministic stream order
+    for gather/reassembly.  Returns (tiles, (H, W)) so ``untile_plane`` can
+    crop the padding back off.
+    """
+    th, tw = tile
+    h, w = plane.shape
+    nh, nw = -(-h // th), -(-w // tw)
+    padded = np.zeros((nh * th, nw * tw), dtype=np.uint8)
+    padded[:h, :w] = plane
+    tiles = (
+        padded.reshape(nh, th, nw, tw).transpose(0, 2, 1, 3).reshape(-1, th, tw)
+    )
+    return np.ascontiguousarray(tiles), (h, w)
+
+
+def untile_plane(
+    tiles: np.ndarray, shape: Tuple[int, int]
+) -> np.ndarray:
+    """Inverse of :func:`tile_plane`."""
+    h, w = shape
+    n, th, tw = tiles.shape
+    nh, nw = -(-h // th), -(-w // tw)
+    if n != nh * nw:
+        raise ValueError(f"{n} tiles cannot cover {shape} with {th}x{tw}")
+    padded = (
+        tiles.reshape(nh, nw, th, tw).transpose(0, 2, 1, 3).reshape(nh * th, nw * tw)
+    )
+    return np.ascontiguousarray(padded[:h, :w])
+
+
+def pad_batch(batch: np.ndarray, multiple: int) -> Tuple[np.ndarray, int]:
+    """Zero-pad the batch axis to a device-count multiple; returns pad count."""
+    b = batch.shape[0]
+    target = -(-b // multiple) * multiple
+    if target == b:
+        return batch, 0
+    pad = np.zeros((target - b, *batch.shape[1:]), dtype=batch.dtype)
+    return np.concatenate([batch, pad], axis=0), target - b

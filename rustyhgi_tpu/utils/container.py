@@ -1,0 +1,237 @@
+"""Container formats.
+
+Two containers live here:
+
+* ``.hgi`` — a byte-exact reader/writer for the reference's archive layout
+  (reference: src/archive.rs:13-55, src/grid.rs:1-5), so archives produced by
+  this framework decode with the reference binary and vice versa.
+* ``.thgi`` — this framework's native container: same metadata, but the
+  residual plane is entropy-coded with the best of {raw DEFLATE, static rANS}
+  per archive (SURVEY.md §7 step 8), which is never larger than the
+  reference's single-choice DEFLATE stream.
+
+Reference ``.hgi`` byte layout (SURVEY.md §3.7; bincode 1.0 defaults are
+fixed-width little-endian ints, u32 enum tags, u64 length prefixes):
+
+```
+offset 0:  u32 LE magic 0xBAAD_A555                      (archive.rs:13,32)
+offset 4:  u32 LE quantization_level tag                 (quantizator.rs:3-8)
+           u32 LE interpolation tag                      (interpolator.rs:5-9)
+           u32 LE width, u32 LE height                   (archive.rs:19-20)
+           u64 LE scale_level                            (archive.rs:21)
+offset 28: raw DEFLATE (level 9, no zlib header) of      (archive.rs:36-38)
+             u64 LE buffer length (= width*height)
+             width*height residual bytes, row-major      (grid.rs:2-3)
+             u64 LE width                                (grid.rs:4)
+```
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+import zlib
+
+import numpy as np
+
+from ..ops.quantizers import QuantizationLevel
+
+__all__ = [
+    "HGI_MAGIC",
+    "THGI_MAGIC",
+    "Interpolation",
+    "Metadata",
+    "Archive",
+    "write_hgi",
+    "read_hgi",
+    "write_thgi",
+    "read_thgi",
+    "write_archive",
+    "read_archive",
+]
+
+HGI_MAGIC = 0xBAAD_A555  # archive.rs:13
+THGI_MAGIC = 0x7B61_A555  # native container magic ("tpu" variant)
+
+_METADATA = struct.Struct("<IIIIQ")  # qlevel, interp, width, height, scale
+
+
+class Interpolation:
+    """Interpolator tags, serde enum order (interpolator.rs:4-9)."""
+
+    CROSSED = 0
+    LINE = 1  # metadata-only in the reference (no implementation)
+    PREVIOUS = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class Metadata:
+    """Archive metadata (archive.rs:16-22)."""
+
+    quantization_level: QuantizationLevel
+    interpolation: int
+    width: int
+    height: int
+    scale_level: int
+
+    def pack(self) -> bytes:
+        return _METADATA.pack(
+            int(self.quantization_level),
+            int(self.interpolation),
+            self.width,
+            self.height,
+            self.scale_level,
+        )
+
+    @classmethod
+    def unpack(cls, raw: bytes) -> "Metadata":
+        q, interp, w, h, scale = _METADATA.unpack(raw)
+        return cls(QuantizationLevel(q), interp, w, h, scale)
+
+
+@dataclasses.dataclass
+class Archive:
+    """An encoded image: metadata + residual grid plane (archive.rs:24-28)."""
+
+    metadata: Metadata
+    grid: np.ndarray  # uint8 [height, width]
+
+    def __post_init__(self) -> None:
+        self.grid = np.ascontiguousarray(self.grid, dtype=np.uint8)
+        if self.grid.shape != (self.metadata.height, self.metadata.width):
+            raise ValueError(
+                f"grid shape {self.grid.shape} does not match metadata "
+                f"{(self.metadata.height, self.metadata.width)}"
+            )
+
+
+def _deflate_best(payload: bytes) -> bytes:
+    # Raw DEFLATE, max effort, no zlib/gzip framing — matches
+    # flate2::Compression::best() with DeflateEncoder (archive.rs:36-38).
+    co = zlib.compressobj(9, zlib.DEFLATED, -15)
+    return co.compress(payload) + co.flush()
+
+
+def _inflate_raw(payload: bytes) -> bytes:
+    return zlib.decompress(payload, -15)
+
+
+def _grid_payload(archive: Archive) -> bytes:
+    # bincode(Grid): u64 len, bytes, u64 width (grid.rs:1-5 field order).
+    grid = archive.grid
+    return b"".join(
+        (
+            struct.pack("<Q", grid.size),
+            grid.tobytes(),
+            struct.pack("<Q", archive.metadata.width),
+        )
+    )
+
+
+def write_hgi(archive: Archive) -> bytes:
+    """Serialize to the reference's byte-exact .hgi layout (archive.rs:31-41)."""
+    return b"".join(
+        (
+            struct.pack("<I", HGI_MAGIC),
+            archive.metadata.pack(),
+            _deflate_best(_grid_payload(archive)),
+        )
+    )
+
+
+def read_hgi(data: bytes) -> Archive:
+    """Parse a .hgi archive (archive.rs:43-55)."""
+    (magic,) = struct.unpack_from("<I", data, 0)
+    if magic != HGI_MAGIC:
+        raise ValueError("incorrect magic number")  # archive.rs:48
+    meta = Metadata.unpack(data[4 : 4 + _METADATA.size])
+    payload = _inflate_raw(data[4 + _METADATA.size :])
+    (n,) = struct.unpack_from("<Q", payload, 0)
+    if n != meta.width * meta.height:
+        raise ValueError(
+            f"grid length {n} does not match {meta.width}x{meta.height}"
+        )
+    buf = np.frombuffer(payload, dtype=np.uint8, count=n, offset=8)
+    (width,) = struct.unpack_from("<Q", payload, 8 + n)
+    if width != meta.width:
+        raise ValueError("grid width does not match metadata width")
+    grid = buf.reshape(meta.height, meta.width).copy()
+    return Archive(meta, grid)
+
+
+# --------------------------------------------------------------------------
+# Native container (.thgi): pick the smaller of DEFLATE and rANS per archive.
+# --------------------------------------------------------------------------
+
+_CODEC_DEFLATE = 0
+_CODEC_RANS = 1
+
+
+def write_thgi(archive: Archive) -> bytes:
+    """Serialize to the native container.
+
+    Layout: u32 LE magic, packed metadata, u8 codec tag, u64 LE raw size,
+    entropy-coded residual bytes (row-major, no bincode framing).  The codec
+    tag picks whichever of {DEFLATE-9, static rANS} is smaller for this
+    plane, so .thgi is never larger than the .hgi body.
+    """
+    raw = archive.grid.tobytes()
+    deflated = _deflate_best(raw)
+    candidates = [(_CODEC_DEFLATE, deflated)]
+    try:
+        from ..ops.entropy import rans_encode
+
+        candidates.append((_CODEC_RANS, rans_encode(raw)))
+    except Exception:
+        pass  # native entropy backend unavailable; DEFLATE always works
+    tag, body = min(candidates, key=lambda c: len(c[1]))
+    return b"".join(
+        (
+            struct.pack("<I", THGI_MAGIC),
+            archive.metadata.pack(),
+            struct.pack("<BQ", tag, len(raw)),
+            body,
+        )
+    )
+
+
+def read_thgi(data: bytes) -> Archive:
+    (magic,) = struct.unpack_from("<I", data, 0)
+    if magic != THGI_MAGIC:
+        raise ValueError("incorrect magic number")
+    off = 4
+    meta = Metadata.unpack(data[off : off + _METADATA.size])
+    off += _METADATA.size
+    tag, raw_size = struct.unpack_from("<BQ", data, off)
+    off += struct.calcsize("<BQ")
+    body = data[off:]
+    if tag == _CODEC_DEFLATE:
+        raw = _inflate_raw(body)
+    elif tag == _CODEC_RANS:
+        from ..ops.entropy import rans_decode
+
+        raw = rans_decode(body, raw_size)
+    else:
+        raise ValueError(f"unknown entropy codec tag {tag}")
+    grid = np.frombuffer(raw, dtype=np.uint8, count=raw_size).reshape(
+        meta.height, meta.width
+    )
+    return Archive(meta, grid.copy())
+
+
+def write_archive(archive: Archive, fmt: str = "hgi") -> bytes:
+    if fmt == "hgi":
+        return write_hgi(archive)
+    if fmt == "thgi":
+        return write_thgi(archive)
+    raise ValueError(f"unknown container format {fmt!r}")
+
+
+def read_archive(data: bytes) -> Archive:
+    """Auto-detect container format from the magic."""
+    (magic,) = struct.unpack_from("<I", data, 0)
+    if magic == HGI_MAGIC:
+        return read_hgi(data)
+    if magic == THGI_MAGIC:
+        return read_thgi(data)
+    raise ValueError("incorrect magic number")

@@ -1,0 +1,81 @@
+"""Container format tests: byte-exact .hgi layout + native .thgi."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from rustyhgi_tpu.ops.quantizers import QuantizationLevel
+from rustyhgi_tpu.utils.container import (
+    Archive,
+    HGI_MAGIC,
+    Interpolation,
+    Metadata,
+    read_archive,
+    read_hgi,
+    read_thgi,
+    write_hgi,
+    write_thgi,
+)
+
+from conftest import synthetic_image
+
+
+def make_archive(w=8, h=8, levels=3, quant=QuantizationLevel.MEDIUM):
+    grid = synthetic_image(w, h)
+    meta = Metadata(quant, Interpolation.CROSSED, w, h, levels)
+    return Archive(meta, grid)
+
+
+def test_hgi_roundtrip():
+    a = make_archive()
+    b = read_hgi(write_hgi(a))
+    assert b.metadata == a.metadata
+    assert np.array_equal(b.grid, a.grid)
+
+
+def test_hgi_byte_layout():
+    # Validates every field of SURVEY.md §3.7 against a hand-built blob.
+    a = make_archive(w=8, h=8, levels=3, quant=QuantizationLevel.MEDIUM)
+    blob = write_hgi(a)
+    assert blob[:4] == bytes([0x55, 0xA5, 0xAD, 0xBA])  # magic LE
+    q, interp, w, h, scale = struct.unpack_from("<IIIIQ", blob, 4)
+    assert (q, interp, w, h, scale) == (2, 0, 8, 8, 3)
+    payload = zlib.decompress(blob[28:], -15)  # raw DEFLATE, no header
+    (n,) = struct.unpack_from("<Q", payload, 0)
+    assert n == 64
+    assert payload[8 : 8 + 64] == a.grid.tobytes()
+    (width,) = struct.unpack_from("<Q", payload, 8 + 64)
+    assert width == 8
+    assert len(payload) == 8 + 64 + 8
+
+
+def test_hgi_bad_magic_rejected():
+    blob = b"\x00\x00\x00\x00" + b"x" * 40
+    with pytest.raises(ValueError, match="magic"):
+        read_hgi(blob)
+
+
+def test_thgi_roundtrip_and_not_larger():
+    a = make_archive(w=33, h=17, levels=4)
+    thgi = write_thgi(a)
+    hgi = write_hgi(a)
+    b = read_thgi(thgi)
+    assert b.metadata == a.metadata
+    assert np.array_equal(b.grid, a.grid)
+    # native container never beats .hgi by less than the header delta
+    assert len(thgi) <= len(hgi) + 16
+
+
+def test_read_archive_autodetect():
+    a = make_archive()
+    for blob in (write_hgi(a), write_thgi(a)):
+        b = read_archive(blob)
+        assert np.array_equal(b.grid, a.grid)
+
+
+def test_grid_shape_validation():
+    meta = Metadata(QuantizationLevel.LOW, Interpolation.CROSSED, 4, 4, 2)
+    with pytest.raises(ValueError, match="shape"):
+        Archive(meta, np.zeros((3, 4), dtype=np.uint8))
