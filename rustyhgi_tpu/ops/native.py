@@ -1,0 +1,152 @@
+"""ctypes bindings for the native C++ runtime (native/librustyhgi.so).
+
+Two native components (both optional — every caller has a pure-Python
+fallback):
+
+* scalar C++ codec — the measured stand-in for the Rust reference binary's
+  single-threaded performance (the Rust toolchain is absent here,
+  SURVEY.md §6) and a fast host oracle for golden tests on large images;
+* rANS entropy coder — the .thgi container's high-throughput entropy stage.
+
+The library is built on demand with ``make -C native`` on first use.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+from .quantizers import QuantizationLevel, linear_error
+
+__all__ = [
+    "available",
+    "native_encode",
+    "native_decode",
+    "native_rans_compress",
+    "native_rans_decompress",
+]
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "librustyhgi.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_load_failed = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _load_failed
+    with _lock:
+        if _lib is not None or _load_failed:
+            return _lib
+        if not os.path.exists(_LIB_PATH):
+            try:
+                subprocess.run(
+                    ["make", "-C", _NATIVE_DIR, "-s"],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+            except Exception:
+                _load_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            _load_failed = True
+            return None
+
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        u16p = ctypes.POINTER(ctypes.c_uint16)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        lib.hgi_encode_plane.argtypes = [u8p, u8p] + [ctypes.c_uint32] * 4
+        lib.hgi_encode_plane.restype = None
+        lib.hgi_decode_plane.argtypes = [u8p, u8p] + [ctypes.c_uint32] * 3
+        lib.hgi_decode_plane.restype = None
+        lib.rans_compress.argtypes = [u8p, ctypes.c_uint64, u8p, ctypes.c_uint64, u16p]
+        lib.rans_compress.restype = ctypes.c_uint64
+        lib.rans_worst_size.argtypes = [ctypes.c_uint64]
+        lib.rans_worst_size.restype = ctypes.c_uint64
+        lib.rans_decompress.argtypes = [u8p, ctypes.c_uint64, u8p, ctypes.c_uint64]
+        lib.rans_decompress.restype = ctypes.c_int
+        lib.rans_histogram.argtypes = [u8p, ctypes.c_uint64, u64p]
+        lib.rans_histogram.restype = None
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _u8ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def native_encode(
+    image: np.ndarray,
+    levels: int,
+    quantization: QuantizationLevel | int,
+) -> np.ndarray:
+    """Scalar C++ encode of a uint8 [H, W] plane -> residual grid."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable (make -C native failed)")
+    work = np.array(image, dtype=np.uint8, copy=True, order="C")
+    h, w = work.shape
+    grid = np.zeros((h, w), dtype=np.uint8)
+    err = linear_error(QuantizationLevel(quantization))
+    lib.hgi_encode_plane(_u8ptr(work), _u8ptr(grid), w, h, levels, err)
+    return grid
+
+
+def native_decode(grid: np.ndarray, levels: int) -> np.ndarray:
+    """Scalar C++ decode of a uint8 [H, W] residual grid -> image."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable (make -C native failed)")
+    grid = np.ascontiguousarray(grid, dtype=np.uint8)
+    h, w = grid.shape
+    image = np.zeros((h, w), dtype=np.uint8)
+    lib.hgi_decode_plane(_u8ptr(grid), _u8ptr(image), w, h, levels)
+    return image
+
+
+def native_rans_compress(
+    data: bytes, freqs: Optional[np.ndarray] = None
+) -> bytes:
+    """rANS-compress bytes (optionally with a shared u16[256] freq table)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    src = np.frombuffer(data, dtype=np.uint8)
+    cap = int(lib.rans_worst_size(src.size))
+    out = np.zeros(cap, dtype=np.uint8)
+    fp = None
+    if freqs is not None:
+        freqs = np.ascontiguousarray(freqs, dtype=np.uint16)
+        if freqs.shape != (256,) or int(freqs.sum()) != 1 << 14:
+            raise ValueError("freq table must be u16[256] summing to 2**14")
+        fp = freqs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16))
+    n = int(lib.rans_compress(_u8ptr(src), src.size, _u8ptr(out), cap, fp))
+    if n == 0:
+        raise RuntimeError("rans_compress: insufficient output capacity")
+    return out[:n].tobytes()
+
+
+def native_rans_decompress(data: bytes, raw_size: int) -> bytes:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    src = np.frombuffer(data, dtype=np.uint8)
+    out = np.zeros(raw_size, dtype=np.uint8)
+    rc = int(lib.rans_decompress(_u8ptr(src), src.size, _u8ptr(out), raw_size))
+    if rc != 0:
+        raise ValueError(f"rans_decompress: malformed stream (code {rc})")
+    return out.tobytes()

@@ -18,6 +18,11 @@ if "xla_force_host_platform_device_count" not in xla_flags:
     ).strip()
 
 import jax
+
+# The session's axon sitecustomize registers the TPU backend and overrides
+# jax_platforms in config, so the env var alone does not stick — force it.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 

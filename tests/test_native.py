@@ -1,0 +1,98 @@
+"""Native C++ backend tests: scalar codec vs oracle, rANS roundtrips."""
+
+import numpy as np
+import pytest
+
+from rustyhgi_tpu.oracle import oracle_decode, oracle_encode
+from rustyhgi_tpu.ops import entropy
+from rustyhgi_tpu.ops.native import (
+    available,
+    native_decode,
+    native_encode,
+    native_rans_compress,
+    native_rans_decompress,
+)
+from rustyhgi_tpu.ops.quantizers import QuantizationLevel
+
+needs_native = pytest.mark.skipif(
+    not available(), reason="native library not built"
+)
+
+
+@needs_native
+@pytest.mark.parametrize("quant", list(QuantizationLevel))
+@pytest.mark.parametrize("shape", [(8, 8), (17, 13), (64, 48)])
+def test_native_codec_matches_oracle(rng, quant, shape):
+    image = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    for levels in (1, 3, 4):
+        want = oracle_encode(image, levels, quant)
+        got = native_encode(image, levels, quant)
+        assert np.array_equal(got, want), (shape, levels, quant)
+        assert np.array_equal(
+            native_decode(want, levels), oracle_decode(want, levels)
+        )
+
+
+@needs_native
+def test_native_codec_lena(lena):
+    grid = native_encode(lena, 4, QuantizationLevel.LOSSLESS)
+    assert np.array_equal(native_decode(grid, 4), lena)
+
+
+@needs_native
+def test_native_rans_roundtrip(rng):
+    for n in (0, 1, 7, 1000, 65536):
+        data = rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
+        blob = native_rans_compress(data)
+        assert native_rans_decompress(blob, n) == data
+
+
+@needs_native
+def test_native_rans_skewed_and_constant(rng):
+    # constant plane (single-symbol distribution) and heavy skew
+    for data in (b"\x00" * 10000, bytes(rng.choice([0, 0, 0, 0, 1, 2], 5000))):
+        blob = native_rans_compress(data)
+        assert native_rans_decompress(blob, len(data)) == data
+        assert len(blob) < len(data) + 600  # compresses below header+input
+
+
+@needs_native
+def test_native_vs_python_rans_bitstream(rng):
+    # The pure-Python mirror must produce the identical stream so archives
+    # are portable across backends.
+    data = bytes(rng.integers(0, 256, size=4096, dtype=np.uint8))
+    native_blob = native_rans_compress(data)
+    py_blob = entropy._py_rans_encode(data)
+    assert native_blob == py_blob
+    assert entropy._py_rans_decode(native_blob, len(data)) == data
+
+
+@needs_native
+def test_shared_freq_table(rng):
+    # Shared-coder-table path: a table derived from a global histogram
+    # encodes any plane drawn from that distribution.
+    a = bytes(rng.integers(0, 64, size=2048, dtype=np.uint8))
+    b = bytes(rng.integers(0, 64, size=2048, dtype=np.uint8))
+    counts = np.bincount(
+        np.frombuffer(a + b, dtype=np.uint8), minlength=256
+    )
+    table = entropy.normalized_freqs(counts)
+    for data in (a, b):
+        blob = native_rans_compress(data, table)
+        assert native_rans_decompress(blob, len(data)) == data
+
+
+def test_python_rans_fallback_roundtrip(rng):
+    data = bytes(rng.integers(0, 16, size=3000, dtype=np.uint8))
+    blob = entropy._py_rans_encode(data)
+    assert entropy._py_rans_decode(blob, len(data)) == data
+
+
+def test_normalized_freqs_properties(rng):
+    counts = np.zeros(256, dtype=np.int64)
+    counts[5] = 1
+    counts[200] = 10**12
+    freq = entropy.normalized_freqs(counts)
+    assert int(freq.sum()) == 1 << 14
+    assert freq[5] >= 1  # present symbols never get zero probability
+    assert freq[7] == 0

@@ -1,0 +1,102 @@
+"""Multi-device SPMD tests on the 8-device virtual CPU mesh.
+
+The invariants the distributed tier must provide (SURVEY.md §4, invented
+for this framework since the reference has none): sharded results are
+bit-identical to single-device results, independent of mesh shape, with
+deterministic batch order; the psum'd histogram equals the host histogram.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from rustyhgi_tpu.models.codec import HGICodec
+from rustyhgi_tpu.ops.quantizers import QuantizationLevel
+from rustyhgi_tpu.parallel.mesh import make_mesh
+from rustyhgi_tpu.parallel.sharded import (
+    decode_batch_sharded,
+    encode_batch_sharded,
+    pad_batch,
+    tile_plane,
+    untile_plane,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+MESH_SHAPES = [(8, 1), (4, 2), (2, 4), (1, 8)]
+
+
+@pytest.fixture(scope="module")
+def batch():
+    rng = np.random.default_rng(7)
+    return rng.integers(0, 256, size=(16, 24, 40), dtype=np.uint8)
+
+
+@pytest.fixture(scope="module")
+def golden(batch):
+    codec = HGICodec(levels=3, quantization=QuantizationLevel.MEDIUM)
+    grids, recons = codec.encode_plane(batch)
+    return np.asarray(grids), np.asarray(recons)
+
+
+@pytest.mark.parametrize("shape", MESH_SHAPES)
+def test_sharded_encode_mesh_shape_invariance(batch, golden, shape):
+    mesh = make_mesh(shape)
+    grids, recons, hist = encode_batch_sharded(
+        batch, 3, QuantizationLevel.MEDIUM, mesh=mesh
+    )
+    assert np.array_equal(np.asarray(grids), golden[0])
+    assert np.array_equal(np.asarray(recons), golden[1])
+    # psum'd histogram == host histogram of all residual bytes
+    want = np.bincount(golden[0].reshape(-1), minlength=256)
+    assert np.array_equal(np.asarray(hist), want)
+
+
+def test_sharded_decode_roundtrip(batch, golden):
+    mesh = make_mesh((4, 2))
+    decoded = decode_batch_sharded(golden[0], 3, mesh=mesh)
+    assert np.array_equal(np.asarray(decoded), golden[1])
+
+
+def test_tile_untile_roundtrip():
+    rng = np.random.default_rng(3)
+    plane = rng.integers(0, 256, size=(53, 71), dtype=np.uint8)
+    tiles, shape = tile_plane(plane, (16, 32))
+    assert tiles.shape == (4 * 3, 16, 32)
+    assert np.array_equal(untile_plane(tiles, shape), plane)
+
+
+def test_tiled_sharded_e2e_lossless():
+    # Gigapixel-axis slice: tile a plane, encode tiles sharded, decode,
+    # reassemble — must be exactly the original (tiles are independent
+    # streams, so lossless holds per tile and globally).
+    rng = np.random.default_rng(11)
+    plane = rng.integers(0, 256, size=(100, 90), dtype=np.uint8)
+    tiles, shape = tile_plane(plane, (32, 32))
+    padded, n_pad = pad_batch(tiles, 8)
+    mesh = make_mesh((8, 1))
+    grids, recons, _ = encode_batch_sharded(
+        padded, 4, QuantizationLevel.LOSSLESS, mesh=mesh
+    )
+    decoded = np.asarray(decode_batch_sharded(grids, 4, mesh=mesh))
+    n = tiles.shape[0]
+    assert np.array_equal(untile_plane(decoded[:n], shape), plane)
+    assert np.array_equal(np.asarray(recons)[:n], tiles)
+
+
+def test_multihost_driver_single_process():
+    from rustyhgi_tpu.parallel.multihost import encode_tiled_multihost
+    from rustyhgi_tpu.utils.container import read_archive
+
+    rng = np.random.default_rng(5)
+    plane = rng.integers(0, 256, size=(64, 64), dtype=np.uint8)
+    blocks = encode_tiled_multihost(
+        plane, (32, 32), 3, QuantizationLevel.LOSSLESS, fmt="hgi"
+    )
+    assert blocks is not None and len(blocks) == 4
+    tiles = np.stack([read_archive(b).grid for b in blocks])
+    codec = HGICodec(levels=3)
+    decoded = np.asarray(codec.decode_plane(tiles))
+    assert np.array_equal(untile_plane(decoded, (64, 64)), plane)
