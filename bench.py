@@ -1,0 +1,214 @@
+"""Benchmark harness — run on real TPU hardware.
+
+Prints ONE JSON line with the headline metric: device encode throughput
+(MPix/s) on one chip, Lossless, levels=4 (the BASELINE.json headline
+config) versus the measured single-thread scalar C++ baseline (the
+stand-in for the Rust reference binary — SURVEY.md §6: the Rust toolchain
+is absent, so the -O3 C++ twin of the reference's scalar algorithm is the
+baseline on this host).
+
+Measurement methodology: the TPU here sits behind a tunnel whose dispatch
+round-trip (~25 ms) dwarfs kernel times, and ``block_until_ready`` does
+not reliably block until device completion.  All device timings therefore
+chain K dependent iterations of the workload inside ONE jitted
+``lax.fori_loop`` dispatch, fetch one element to force completion, and
+report the slope between two K values — pure steady-state device time,
+independent of dispatch latency.
+
+The benchmark image mirrors the reference's criterion setup
+(reference: benches/bench.rs:15-31): synthetic 1920x1080 with
+pixel = (x*y) as u8, levels=4; criterion's bytes/s equals pixels/s there,
+reported here as MPix/s.
+
+Additional metrics (decode, lossy, e2e container, entropy stage, baseline
+details) go to stderr and BENCH_DETAILS.json.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def synthetic(w: int, h: int) -> np.ndarray:
+    x = np.arange(w, dtype=np.int64)
+    y = np.arange(h, dtype=np.int64)
+    return ((y[:, None] * x[None, :]) & 0xFF).astype(np.uint8)
+
+
+def median_time(fn, iters: int = 3) -> float:
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def device_seconds_per_call(step, x, k_lo: int = 2, k_hi: int = 18) -> float:
+    """Steady-state device time of ``step`` via chained-iteration slope."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    def chained(k):
+        @jax.jit
+        def f(v):
+            return lax.fori_loop(
+                0, k, lambda i, y: step(y ^ jnp.uint8(i & 1)), v
+            )
+
+        return f
+
+    times = {}
+    for k in (k_lo, k_hi):
+        f = chained(k)
+        r = f(x)
+        np.asarray(r.ravel()[:1])  # warm (compile + first run)
+        times[k] = median_time(lambda: np.asarray(f(x).ravel()[:1]))
+    return (times[k_hi] - times[k_lo]) / (k_hi - k_lo)
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.cache/jax_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from rustyhgi_tpu.ops import pyramid
+    from rustyhgi_tpu.ops.quantizers import QuantizationLevel, quantize_fn
+
+    W, H, LEVELS, BATCH = 1920, 1080, 4, 16
+    image = synthetic(W, H)
+    batch = np.broadcast_to(image, (BATCH, H, W)).copy()
+    npix_batch = BATCH * W * H
+
+    dev = jax.devices()[0]
+    log(f"device: {dev} | image {W}x{H} x{BATCH} levels={LEVELS}")
+    dbatch = jax.device_put(jnp.asarray(batch), dev)
+
+    quant = quantize_fn(QuantizationLevel.LOSSLESS)
+
+    def enc_step(x):
+        g, r = pyramid.encode_plane(x, LEVELS, quant)
+        return g ^ r  # keep both outputs live
+
+    def dec_step(x):
+        return pyramid.decode_plane(x, LEVELS)
+
+    t_enc = device_seconds_per_call(enc_step, dbatch)
+    enc_mpixps = npix_batch / t_enc / 1e6
+    log(f"encode: {t_enc * 1e3:.2f} ms/batch -> {enc_mpixps:.0f} MPix/s")
+
+    t_dec = device_seconds_per_call(dec_step, dbatch)
+    dec_mpixps = npix_batch / t_dec / 1e6
+    log(f"decode: {t_dec * 1e3:.2f} ms/batch -> {dec_mpixps:.0f} MPix/s")
+
+    quant_m = quantize_fn(QuantizationLevel.MEDIUM)
+
+    def enc_step_m(x):
+        g, r = pyramid.encode_plane(x, LEVELS, quant_m)
+        return g ^ r
+
+    t_enc_m = device_seconds_per_call(enc_step_m, dbatch)
+    enc_m_mpixps = npix_batch / t_enc_m / 1e6
+    log(f"encode medium: {t_enc_m * 1e3:.2f} ms/batch -> {enc_m_mpixps:.0f} MPix/s")
+
+    # scalar C++ baseline (reference stand-in), single plane, single thread
+    base = {}
+    try:
+        from rustyhgi_tpu.ops.native import available, native_decode, native_encode
+
+        if available():
+            t = median_time(
+                lambda: native_encode(image, LEVELS, QuantizationLevel.LOSSLESS),
+                iters=5,
+            )
+            base["encode_mpix_s"] = W * H / t / 1e6
+            grid_np = native_encode(image, LEVELS, QuantizationLevel.LOSSLESS)
+            t = median_time(lambda: native_decode(grid_np, LEVELS), iters=5)
+            base["decode_mpix_s"] = W * H / t / 1e6
+            log(f"scalar C++ baseline: encode {base['encode_mpix_s']:.0f} "
+                f"MPix/s decode {base['decode_mpix_s']:.0f} MPix/s")
+    except Exception as e:
+        log(f"native baseline unavailable: {e}")
+
+    # entropy stage + container sizes on LENA (reference parity check)
+    sizes = {}
+    entropy_speed = {}
+    try:
+        from rustyhgi_tpu.models.codec import HGICodec
+        from rustyhgi_tpu.utils.container import write_hgi, write_thgi
+        from rustyhgi_tpu.utils.imageio import load_luma
+
+        lena = load_luma("/root/reference/res/LENA.TIF")
+        for quant_name in ("lossless", "medium"):
+            codec = HGICodec(4, quant_name)
+            archive = codec.encode(lena)
+            sizes[quant_name] = {
+                "hgi": len(write_hgi(archive)),
+                "thgi": len(write_thgi(archive)),
+            }
+        from rustyhgi_tpu.ops.entropy import rans_encode
+
+        grid_big = np.asarray(
+            HGICodec(4, "medium").encode_plane(batch)[0]
+        ).tobytes()
+        t = median_time(lambda: rans_encode(grid_big), iters=3)
+        entropy_speed["rans_MBps"] = len(grid_big) / t / 1e6
+        import zlib
+
+        t = median_time(
+            lambda: zlib.compressobj(9, zlib.DEFLATED, -15).compress(grid_big),
+            iters=1,
+        )
+        entropy_speed["deflate9_MBps"] = len(grid_big) / t / 1e6
+        log(f"entropy: rANS {entropy_speed['rans_MBps']:.0f} MB/s, "
+            f"DEFLATE-9 {entropy_speed['deflate9_MBps']:.0f} MB/s")
+    except Exception as e:
+        log(f"entropy/size check failed: {e}")
+
+    details = {
+        "device": str(dev),
+        "config": {
+            "w": W, "h": H, "batch": BATCH, "levels": LEVELS,
+            "methodology": "chained fori_loop slope (K=2 vs 18)",
+        },
+        "encode_lossless_mpix_s": enc_mpixps,
+        "decode_mpix_s": dec_mpixps,
+        "encode_medium_mpix_s": enc_m_mpixps,
+        "baseline_scalar_cpp": base,
+        "lena_container_bytes": sizes,
+        "entropy_MBps": entropy_speed,
+    }
+    log(json.dumps(details, indent=2))
+    try:
+        with open("BENCH_DETAILS.json", "w") as f:
+            json.dump(details, f, indent=2)
+    except OSError:
+        pass
+
+    vs = enc_mpixps / base["encode_mpix_s"] if base.get("encode_mpix_s") else 0.0
+    print(
+        json.dumps(
+            {
+                "metric": "encode_throughput_lossless_l4",
+                "value": round(enc_mpixps, 1),
+                "unit": "MPix/s",
+                "vs_baseline": round(vs, 2),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
