@@ -51,14 +51,19 @@ class HGICodec:
         self,
         levels: int = 4,
         quantization: QuantizationLevel | str = QuantizationLevel.MEDIUM,
+        predictor: str = "crossed",
         use_pallas: bool = False,
     ):
         if isinstance(quantization, str):
             quantization = QuantizationLevel.parse(quantization)
         if not 0 <= levels <= 16:
             raise ValueError(f"levels must be in [0, 16], got {levels}")
+        from ..ops.predictors import predictor_fn
+
         self.levels = int(levels)
         self.quantization = quantization
+        self.predictor = predictor
+        self._predictor_fn = predictor_fn(predictor)
         self.use_pallas = use_pallas
         self._encode_cache: Dict[Tuple[int, int], jax.stages.Wrapped] = {}
         self._decode_cache: Dict[Tuple[int, int], jax.stages.Wrapped] = {}
@@ -69,6 +74,7 @@ class HGICodec:
         fn = self._encode_cache.get(shape)
         if fn is None:
             levels, quant = self.levels, quantize_fn(self.quantization)
+            pred = self._predictor_fn
             if self.use_pallas:
                 from ..ops import pallas_kernels
 
@@ -76,15 +82,17 @@ class HGICodec:
                     lambda img: pallas_kernels.encode_plane(img, levels, quant)
                 )
             else:
-                fn = jax.jit(lambda img: pyramid.encode_plane(img, levels, quant))
+                fn = jax.jit(
+                    lambda img: pyramid.encode_plane(img, levels, quant, pred)
+                )
             self._encode_cache[shape] = fn
         return fn
 
     def _decode_fn(self, shape: Tuple[int, int]):
         fn = self._decode_cache.get(shape)
         if fn is None:
-            levels = self.levels
-            fn = jax.jit(lambda grid: pyramid.decode_plane(grid, levels))
+            levels, pred = self.levels, self._predictor_fn
+            fn = jax.jit(lambda grid: pyramid.decode_plane(grid, levels, pred))
             self._decode_cache[shape] = fn
         return fn
 
@@ -114,9 +122,11 @@ class HGICodec:
     # -- archive path (device compute + host entropy/container) -------------
 
     def _metadata(self, height: int, width: int) -> Metadata:
+        from ..ops.predictors import predictor_tag
+
         return Metadata(
             quantization_level=self.quantization,
-            interpolation=Interpolation.CROSSED,
+            interpolation=predictor_tag(self.predictor),
             width=width,
             height=height,
             scale_level=self.levels,

@@ -89,6 +89,9 @@ def rans_decode(data: bytes, raw_size: int) -> bytes:
 # -- pure-Python mirror (slow, for portability and cross-validation) -------
 
 
+_WAYS = 8  # interleave width; must match native/rans.cpp kWays
+
+
 def _py_rans_encode(data: bytes, freqs: Optional[np.ndarray] = None) -> bytes:
     src = np.frombuffer(data, dtype=np.uint8)
     if freqs is None:
@@ -101,51 +104,65 @@ def _py_rans_encode(data: bytes, freqs: Optional[np.ndarray] = None) -> bytes:
     cum[1:] = np.cumsum(freq)
 
     out = bytearray()
-    x = _L
-    f = freq.astype(np.uint32)
-    c = cum
-    for s in src[::-1]:
-        fs = int(f[s])
+    x = [_L] * _WAYS
+    n = len(src)
+    for i in range(n - 1, -1, -1):
+        s = int(src[i])
+        fs = int(freq[s])
+        w = i % _WAYS
+        xs = x[w]
         x_max = ((_L >> _SCALE_BITS) << 8) * fs
-        while x >= x_max:
-            out.append(x & 0xFF)
-            x >>= 8
-        x = ((x // fs) << _SCALE_BITS) + (x % fs) + int(c[s])
-    state = x.to_bytes(4, "big")
-    stream = state + bytes(out[::-1])
-    header = freq.astype("<u2").tobytes() + len(stream).to_bytes(4, "little")
+        while xs >= x_max:
+            out.append(xs & 0xFF)
+            xs >>= 8
+        x[w] = ((xs // fs) << _SCALE_BITS) + (xs % fs) + int(cum[s])
+    states = b"".join(x[w].to_bytes(4, "big") for w in range(_WAYS))
+    stream = states + bytes(out[::-1])
+    header = (
+        freq.astype("<u2").tobytes()
+        + bytes([_WAYS])
+        + len(stream).to_bytes(4, "little")
+    )
     return header + stream
 
 
 def _py_rans_decode(data: bytes, raw_size: int) -> bytes:
-    if len(data) < 516:
+    hdr = 512 + 1 + 4
+    if len(data) < hdr:
         raise ValueError("rans stream too short")
     freq = np.frombuffer(data[:512], dtype="<u2").astype(np.uint32)
     cum = np.zeros(257, dtype=np.uint32)
     cum[1:] = np.cumsum(freq)
     if int(cum[256]) != _M:
         raise ValueError("invalid rans frequency table")
-    stream_len = int.from_bytes(data[512:516], "little")
-    stream = data[516 : 516 + stream_len]
-    if len(stream) < 4:
+    if data[512] != _WAYS:
+        raise ValueError(f"unsupported rans interleave width {data[512]}")
+    stream_len = int.from_bytes(data[513:517], "little")
+    stream = data[hdr : hdr + stream_len]
+    if len(stream) < 4 * _WAYS:
         raise ValueError("truncated rans stream")
 
     slot2sym = np.zeros(_M, dtype=np.uint8)
     for s in range(256):
         slot2sym[cum[s] : cum[s + 1]] = s
 
-    x = int.from_bytes(stream[:4], "big")
-    pos = 4
+    x = [
+        int.from_bytes(stream[4 * w : 4 * w + 4], "big") for w in range(_WAYS)
+    ]
+    pos = 4 * _WAYS
     out = bytearray(raw_size)
     mask = _M - 1
     for i in range(raw_size):
-        slot = x & mask
+        w = i % _WAYS
+        xs = x[w]
+        slot = xs & mask
         s = int(slot2sym[slot])
         out[i] = s
-        x = int(freq[s]) * (x >> _SCALE_BITS) + slot - int(cum[s])
-        while x < _L:
+        xs = int(freq[s]) * (xs >> _SCALE_BITS) + slot - int(cum[s])
+        while xs < _L:
             if pos >= len(stream):
                 raise ValueError("rans stream underrun")
-            x = (x << 8) | stream[pos]
+            xs = (xs << 8) | stream[pos]
             pos += 1
+        x[w] = xs
     return bytes(out)

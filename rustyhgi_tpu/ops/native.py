@@ -118,6 +118,19 @@ def native_decode(grid: np.ndarray, levels: int) -> np.ndarray:
     return image
 
 
+_scratch = threading.local()
+
+
+def _out_buffer(cap: int) -> np.ndarray:
+    # Reuse a growing per-thread output buffer: fresh multi-MB allocations
+    # are page-fault-bound and would dominate the coder itself.
+    buf = getattr(_scratch, "buf", None)
+    if buf is None or buf.size < cap:
+        buf = np.empty(max(cap, 1 << 20), dtype=np.uint8)
+        _scratch.buf = buf
+    return buf
+
+
 def native_rans_compress(
     data: bytes, freqs: Optional[np.ndarray] = None
 ) -> bytes:
@@ -127,7 +140,7 @@ def native_rans_compress(
         raise RuntimeError("native library unavailable")
     src = np.frombuffer(data, dtype=np.uint8)
     cap = int(lib.rans_worst_size(src.size))
-    out = np.zeros(cap, dtype=np.uint8)
+    out = _out_buffer(cap)
     fp = None
     if freqs is not None:
         freqs = np.ascontiguousarray(freqs, dtype=np.uint16)

@@ -71,25 +71,13 @@ def _cdiv(a: int, b: int) -> int:
 def cell_prediction(coarse: jnp.ndarray) -> jnp.ndarray:
     """Crossed prediction for every cell of a packed coarse lattice.
 
-    ``coarse`` is the int32 [..., hc, wc] reconstructed lattice at spacing
-    2s.  Returns the int32 [..., hc, wc] prediction shared by the three
-    refined pixels of each cell.  Implements the exact integer rounding
-    tree of interpolator.rs:41-55 — four round-half-up edge averages, then
-    a truncating ``>> 2`` — with out-of-bounds corners reading 0
-    (interpolator.rs:75-82) via the zero pad.
+    See :func:`rustyhgi_tpu.ops.predictors.cell_prediction_crossed` for the
+    exact integer rounding-tree semantics (interpolator.rs:41-55) and the
+    OOB-reads-0 rule (interpolator.rs:75-82).
     """
-    pad = [(0, 0)] * (coarse.ndim - 2) + [(0, 1), (0, 1)]
-    p = jnp.pad(coarse, pad)
-    tl = p[..., :-1, :-1]
-    tr = p[..., :-1, 1:]
-    bl = p[..., 1:, :-1]
-    br = p[..., 1:, 1:]
-    return (
-        ((tl + tr + 1) >> 1)
-        + ((bl + br + 1) >> 1)
-        + ((tl + bl + 1) >> 1)
-        + ((tr + br + 1) >> 1)
-    ) >> 2
+    from .predictors import cell_prediction_crossed
+
+    return cell_prediction_crossed(coarse)
 
 
 # -- dyadic data movement (reshape/bitcast only — no strided slices) -------
@@ -155,36 +143,65 @@ def _pad_canvas(x: jnp.ndarray, levels: int) -> jnp.ndarray:
 
 
 def _quad_masks(
-    hc: int, wc: int, s1: int, h: int, w: int
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    hc: int,
+    wc: int,
+    s1: int,
+    h: int,
+    w: int,
+    hp: int,
+    wp: int,
+):
     """In-bounds masks for the three refined quads of one level.
 
     Quad q01 sits at image coords (2i*s1, (2j+1)*s1), q10 at
     ((2i+1)*s1, 2j*s1), q11 at ((2i+1)*s1, (2j+1)*s1).  True where the
     position is inside the real [h, w] image; padded-canvas positions are
     forced to reconstruct to 0 (the reference's OOB-reads-0 contract).
+
+    Statically specialized: axes where the canvas equals the image need no
+    condition; when neither axis pads, returns (None, None, None) and
+    callers skip masking entirely.
     """
-    iy = lax.broadcasted_iota(_I32, (hc, wc), 0)
-    ix = lax.broadcasted_iota(_I32, (hc, wc), 1)
-    row_e = 2 * iy * s1 < h
-    row_o = (2 * iy + 1) * s1 < h
-    col_e = 2 * ix * s1 < w
-    col_o = (2 * ix + 1) * s1 < w
+    true = jnp.full((hc, wc), True)
+    if h == hp:
+        row_e = row_o = true
+    else:
+        iy = lax.broadcasted_iota(_I32, (hc, wc), 0)
+        row_e = 2 * iy * s1 < h
+        row_o = (2 * iy + 1) * s1 < h
+    if w == wp:
+        col_e = col_o = true
+    else:
+        ix = lax.broadcasted_iota(_I32, (hc, wc), 1)
+        col_e = 2 * ix * s1 < w
+        col_o = (2 * ix + 1) * s1 < w
+    if h == hp and w == wp:
+        return None, None, None
     return row_e & col_o, row_o & col_e, row_o & col_o
 
 
-def _true_pyramid(image: jnp.ndarray, levels: int) -> List[jnp.ndarray]:
-    """Successively halved copies: [spacing 1, 2, ..., 2**(levels-1)]."""
-    pyr = [image]
-    for _ in range(levels - 1):
-        pyr.append(_down2(pyr[-1]))
-    return pyr
+def _quad_pyramid(plane: jnp.ndarray, levels: int):
+    """One-pass dyadic decomposition of a canvas plane.
+
+    Returns ``(anchors, quads)`` where ``quads[k]`` holds the (q01, q10,
+    q11) parity quads of the lattice with spacing 2**k — exactly the
+    positions refined by the level whose fine spacing is 2**k — and
+    ``anchors`` is the 2**levels-spaced lattice.  The pyramid and the
+    per-level quad splits are the same computation, done once.
+    """
+    quads = []
+    t = plane
+    for _ in range(levels):
+        t, q01, q10, q11 = _split4(t)
+        quads.append((q01, q10, q11))
+    return t, quads
 
 
 def encode_plane(
     image: jnp.ndarray,
     levels: int,
     quantize: Callable[[jnp.ndarray], jnp.ndarray],
+    predictor: Callable[[jnp.ndarray], jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Encode a uint8 [H, W] plane.
 
@@ -194,31 +211,44 @@ def encode_plane(
     reconstruction is free (it is the loop carry) and gives callers
     encoder-side distortion metrics without a decode pass.
     """
+    if predictor is None:
+        predictor = cell_prediction
     h, w = image.shape[-2:]
     image = _pad_canvas(image.astype(_U8), levels)
+    hp, wp = image.shape[-2:]
     if levels == 0:
         return image[..., :h, :w], image[..., :h, :w]
 
-    pyr = _true_pyramid(image, levels)  # pyr[k] has spacing 2**k
-    coarse = _down2(pyr[-1])  # anchor lattice (spacing 2**levels), raw
-    grid = coarse
+    # Identity quantizer (error 0): q == diff, so the overflow fixup can
+    # never trigger and recon == true exactly — skip both statically.
+    lossless = getattr(quantize, "error", None) == 0
+
+    coarse, quads = _quad_pyramid(image, levels)
+    grid = coarse  # anchor lattice stored raw (encoder.rs:26-37)
     for level in range(levels):
         s1 = 1 << (levels - level - 1)
-        true_fine = pyr[levels - level - 1]
-        pred = cell_prediction(coarse.astype(_I32))
-        _, t01, t10, t11 = _split4(true_fine)
-        masks = _quad_masks(pred.shape[-2], pred.shape[-1], s1, h, w)
+        pred = predictor(coarse.astype(_I32))
+        true_q = quads[levels - level - 1]
+        masks = _quad_masks(pred.shape[-2], pred.shape[-1], s1, h, w, hp, wp)
 
         recon_q: List[jnp.ndarray] = []
         grid_q: List[jnp.ndarray] = []
-        for t, mask in zip((t01, t10, t11), masks):
+        for t, mask in zip(true_q, masks):
             diff = (t.astype(_I32) - pred) & 255
+            if lossless:
+                # recon = pred + (t - pred) mod 256 = t; padded canvas is
+                # zero already, so no mask is needed either.
+                recon_q.append(t)
+                grid_q.append(diff.astype(_U8))
+                continue
             q = quantize(diff)
             # Overflow fixup (encoder.rs:56-60): if quantization changes
             # whether pred + residual carries past 255, store the raw diff.
             fix = ((pred + q) > 255) != ((pred + diff) > 255)
             q = jnp.where(fix, diff, q)
-            r = jnp.where(mask, (pred + q) & 255, 0)
+            r = (pred + q) & 255
+            if mask is not None:
+                r = jnp.where(mask, r, 0)
             recon_q.append(r.astype(_U8))
             grid_q.append(q.astype(_U8))
 
@@ -227,24 +257,33 @@ def encode_plane(
     return grid[..., :h, :w], coarse[..., :h, :w]
 
 
-def decode_plane(grid: jnp.ndarray, levels: int) -> jnp.ndarray:
+def decode_plane(
+    grid: jnp.ndarray,
+    levels: int,
+    predictor: Callable[[jnp.ndarray], jnp.ndarray] = None,
+) -> jnp.ndarray:
     """Decode a uint8 [H, W] residual grid back to the image (decoder.rs:18-46)."""
+    if predictor is None:
+        predictor = cell_prediction
     h, w = grid.shape[-2:]
     grid = _pad_canvas(grid.astype(_U8), levels)
+    hp, wp = grid.shape[-2:]
     if levels == 0:
         return grid[..., :h, :w]
 
-    pyr = _true_pyramid(grid, levels)
-    coarse = _down2(pyr[-1])  # anchors stored raw
+    coarse, quads = _quad_pyramid(grid, levels)  # anchors stored raw
     for level in range(levels):
         s1 = 1 << (levels - level - 1)
-        pred = cell_prediction(coarse.astype(_I32))
-        _, g01, g10, g11 = _split4(pyr[levels - level - 1])
-        masks = _quad_masks(pred.shape[-2], pred.shape[-1], s1, h, w)
-        recon_q = [
-            jnp.where(m, (pred + g.astype(_I32)) & 255, 0).astype(_U8)
-            for g, m in zip((g01, g10, g11), masks)
-        ]
+        pred = predictor(coarse.astype(_I32))
+        masks = _quad_masks(pred.shape[-2], pred.shape[-1], s1, h, w, hp, wp)
+        recon_q = []
+        for g, mask in zip(quads[levels - level - 1], masks):
+            r = (pred + g.astype(_I32)) & 255
+            if mask is not None:
+                # Padded-canvas positions must read 0 at later levels (the
+                # grid's zero padding reconstructs to pred, not 0).
+                r = jnp.where(mask, r, 0)
+            recon_q.append(r.astype(_U8))
         coarse = _interleave4(coarse, *recon_q)
     return coarse[..., :h, :w]
 
@@ -253,6 +292,7 @@ def reconstruct_encode(
     image: jnp.ndarray,
     levels: int,
     quantize: Callable[[jnp.ndarray], jnp.ndarray],
+    predictor: Callable[[jnp.ndarray], jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Encode and return only the residual grid (see :func:`encode_plane`)."""
-    return encode_plane(image, levels, quantize)[0]
+    return encode_plane(image, levels, quantize, predictor)[0]

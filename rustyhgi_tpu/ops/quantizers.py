@@ -93,13 +93,32 @@ def noop_quantize(diff, error: int = 0):
     return diff
 
 
-def quantize_fn(level: QuantizationLevel) -> Callable:
+class LinearQuantizer:
+    """Callable linear quantizer carrying its max-error bound.
+
+    Exposing ``error`` statically lets the device kernels specialize: at
+    ``error == 0`` the quantizer is the identity, so the residual pass can
+    skip quantization and the overflow fixup entirely (the fixup can never
+    trigger when q == diff) and reconstruct losslessly as ``recon = true``.
+    """
+
+    def __init__(self, error: int):
+        self.error = int(error)
+
+    def __call__(self, diff):
+        if self.error == 0:
+            return diff
+        return linear_quantize(diff, self.error)
+
+    def __repr__(self) -> str:
+        return f"LinearQuantizer(error={self.error})"
+
+
+def quantize_fn(level: QuantizationLevel) -> LinearQuantizer:
     """Return ``f(diff_int32) -> quantized_int32`` for a preset.
 
     The returned callable is traceable by JAX (pure elementwise integer
-    math) and fuses into the per-level kernel.
+    math) and fuses into the per-level kernel; its ``.error`` attribute is
+    the static max-error bound used for kernel specialization.
     """
-    e = linear_error(level)
-    if e == 0:
-        return lambda diff: diff
-    return lambda diff: linear_quantize(diff, e)
+    return LinearQuantizer(linear_error(level))

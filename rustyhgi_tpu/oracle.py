@@ -71,6 +71,12 @@ def traverse_level_coords(level: int, levels: int, width: int, height: int):
         line += substep
 
 
+def left_top_prediction(image: np.ndarray, x: int, y: int, step: int) -> int:
+    """LeftTop predictor (interpolator.rs:15-28): cell-origin value."""
+    mask = step - 1
+    return int(image[y & ~mask, x & ~mask])
+
+
 def crossed_prediction(image: np.ndarray, x: int, y: int, step: int) -> int:
     """Crossed predictor for pixel (x=column, y=line) with cell size ``step``.
 
@@ -100,15 +106,23 @@ def crossed_prediction(image: np.ndarray, x: int, y: int, step: int) -> int:
     return (avg(tl, tr) + avg(bl, br) + avg(tl, bl) + avg(tr, br)) >> 2
 
 
+_PREDICTORS = {
+    "crossed": crossed_prediction,
+    "left_top": left_top_prediction,
+}
+
+
 def oracle_encode(
     image: np.ndarray,
     levels: int,
     quantization: QuantizationLevel = QuantizationLevel.MEDIUM,
+    predictor: str = "crossed",
 ) -> np.ndarray:
     """Encode a uint8 [H, W] plane -> residual grid uint8 [H, W].
 
     Mirrors encoder.rs:39-71 exactly (including in-loop reconstruction).
     """
+    predict = _PREDICTORS[predictor]
     image = np.array(image, dtype=np.uint8, copy=True)
     h, w = image.shape
     grid = np.zeros((h, w), dtype=np.uint8)
@@ -121,7 +135,7 @@ def oracle_encode(
     for level in range(levels):
         step = 1 << (levels - level)  # interpolate() is called with level+1
         for x, y in traverse_level_coords(level, levels, w, h):
-            pred = crossed_prediction(image, x, y, step)
+            pred = predict(image, x, y, step)
             actual = int(image[y, x])
             diff = (actual - pred) & 0xFF
             qdiff = int(table[diff])
@@ -134,11 +148,14 @@ def oracle_encode(
     return grid
 
 
-def oracle_decode(grid: np.ndarray, levels: int) -> np.ndarray:
+def oracle_decode(
+    grid: np.ndarray, levels: int, predictor: str = "crossed"
+) -> np.ndarray:
     """Decode a residual grid uint8 [H, W] -> image uint8 [H, W].
 
     Mirrors decoder.rs:18-46.
     """
+    predict = _PREDICTORS[predictor]
     grid = np.asarray(grid, dtype=np.uint8)
     h, w = grid.shape
     image = np.zeros((h, w), dtype=np.uint8)
@@ -149,7 +166,7 @@ def oracle_decode(grid: np.ndarray, levels: int) -> np.ndarray:
     for level in range(levels):
         step = 1 << (levels - level)
         for x, y in traverse_level_coords(level, levels, w, h):
-            pred = crossed_prediction(image, x, y, step)
+            pred = predict(image, x, y, step)
             image[y, x] = (pred + int(grid[y, x])) & 0xFF
     return image
 

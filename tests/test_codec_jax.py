@@ -112,3 +112,23 @@ def test_metrics_shape(lena):
     assert 0 < m["compressed"] < lena.size
     assert m["max_error"] <= m["error_bound"] == 20
     assert "Ratio:" in str(m)
+
+
+@pytest.mark.parametrize("quant", [QuantizationLevel.LOSSLESS, QuantizationLevel.MEDIUM])
+def test_left_top_predictor_matches_oracle(rng, quant):
+    # LeftTop is the reference's bench-only strategy (interpolator.rs:15-28);
+    # the library API exposes it for the same traversal-vs-math isolation.
+    image = rng.integers(0, 256, size=(33, 21), dtype=np.uint8)
+    for levels in (1, 3):
+        codec = HGICodec(levels=levels, quantization=quant, predictor="left_top")
+        grid, recon = codec.encode_plane(image)
+        want = oracle_encode(image, levels, quant, predictor="left_top")
+        assert np.array_equal(np.asarray(grid), want)
+        decoded = np.asarray(codec.decode_plane(grid))
+        assert np.array_equal(decoded, oracle_decode(want, levels, "left_top"))
+        assert np.array_equal(np.asarray(recon), decoded)
+
+
+def test_unknown_predictor_rejected():
+    with pytest.raises(ValueError, match="predictor"):
+        HGICodec(predictor="bilinear")
