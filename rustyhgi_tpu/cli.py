@@ -127,6 +127,68 @@ def cmd_test(args) -> int:
     return 0
 
 
+def cmd_encode_tiled(args) -> int:
+    """Gigapixel path: independent per-tile streams, sharded over devices.
+
+    Output format (.thgit): u32 LE magic 0x7161A555, u32 tile, u32 width,
+    u32 height, u32 n_blocks, then per block u64 LE length + block bytes
+    (each block is a standalone .hgi/.thgi archive, row-major tile order).
+    """
+    import struct
+
+    from .parallel.multihost import encode_tiled_multihost
+
+    quant = QuantizationLevel.parse(args.quantizator)
+    image = load_luma(args.input)
+    blocks = encode_tiled_multihost(
+        image, (args.tile, args.tile), args.level, quant, fmt=args.format
+    )
+    if blocks is None:  # non-zero process in a multi-host run
+        return 0
+    with open(args.output, "wb") as f:
+        f.write(struct.pack("<IIIII", 0x7161A555, args.tile, image.shape[1],
+                            image.shape[0], len(blocks)))
+        for b in blocks:
+            f.write(struct.pack("<Q", len(b)))
+            f.write(b)
+    return 0
+
+
+def cmd_decode_tiled(args) -> int:
+    import struct
+
+    import numpy as np
+
+    from .parallel.sharded import untile_plane
+
+    with open(args.input, "rb") as f:
+        data = f.read()
+    magic, tile, width, height, n = struct.unpack_from("<IIIII", data, 0)
+    if magic != 0x7161A555:
+        raise ValueError("incorrect magic number")
+    off = 20
+    grids, levels = [], None
+    for _ in range(n):
+        (blen,) = struct.unpack_from("<Q", data, off)
+        off += 8
+        archive = read_archive(data[off : off + blen])
+        off += blen
+        grids.append(archive.grid)
+        levels = archive.metadata.scale_level
+    codec = HGICodec(levels)
+    tiles = np.asarray(codec.decode_plane(np.stack(grids)))
+    save_gray(args.output, untile_plane(tiles, (height, width)))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    from .utils.benchsuite import format_suite, run_suite
+
+    results = run_suite(batch=args.batch)
+    print(format_suite(results))
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(
         prog="rustyhgi_tpu",
@@ -153,6 +215,31 @@ def main(argv=None) -> int:
     p.add_argument("-s", "--suffix", default="")
     _add_encoding_options(p)
     p.set_defaults(fn=cmd_test)
+
+    p = sub.add_parser(
+        "encode-tiled",
+        help="tile a large image into independent streams, encode data-"
+        "parallel over all devices, emit one block archive per tile",
+    )
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-o", "--output", required=True, help="output .thgit path")
+    p.add_argument("--tile", type=int, default=512, help="square tile size")
+    _add_encoding_options(p)
+    p.set_defaults(fn=cmd_encode_tiled)
+
+    p = sub.add_parser(
+        "decode-tiled", help="decode a tiled archive back to an image"
+    )
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-o", "--output", required=True)
+    p.set_defaults(fn=cmd_decode_tiled)
+
+    p = sub.add_parser(
+        "bench",
+        help="benchmark suite mirroring the reference's criterion benches",
+    )
+    p.add_argument("--batch", type=int, default=8)
+    p.set_defaults(fn=cmd_bench)
 
     args = parser.parse_args(argv)
     try:

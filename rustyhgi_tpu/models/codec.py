@@ -164,15 +164,11 @@ class HGICodec:
         decoded = np.asarray(recon)  # bit-identical to decode by construction
         blob = write_archive(archive, fmt)
 
-        diff = image.astype(np.int32) - decoded.astype(np.int32)
-        uncompressed = image.size
-        sd_int = int((diff.astype(np.int64) ** 2).sum()) // uncompressed
+        from ..utils.profiling import codec_metrics
+
+        metrics = codec_metrics(image, decoded, len(blob))
         return CodecMetrics(
-            uncompressed=uncompressed,
-            compressed=len(blob),
-            ratio=uncompressed / len(blob),
-            sd=float(np.sqrt(sd_int)),  # integer-mean then sqrt, main.rs:106,111
-            max_error=int(np.abs(diff).max()) if diff.size else 0,
+            **metrics,
             error_bound=linear_error(self.quantization),
             decoded=decoded,
             archive_bytes=blob,

@@ -296,3 +296,115 @@ def reconstruct_encode(
 ) -> jnp.ndarray:
     """Encode and return only the residual grid (see :func:`encode_plane`)."""
     return encode_plane(image, levels, quantize, predictor)[0]
+
+
+# -- subband layout: the kernel's natural output, no grid assembly ---------
+
+
+def encode_subbands(
+    image: jnp.ndarray,
+    levels: int,
+    quantize: Callable[[jnp.ndarray], jnp.ndarray],
+    predictor: Callable[[jnp.ndarray], jnp.ndarray] = None,
+):
+    """Encode to subband layout: ``(anchors, subbands, recon)``.
+
+    ``anchors`` is the raw 2**levels lattice; ``subbands[l]`` holds the
+    (q01, q10, q11) residual quads of level ``l`` (coarsest first), i.e.
+    the packed lattices the device kernel produces anyway — the full-plane
+    grid interleave of :func:`encode_plane` is skipped entirely.  The
+    residual *values* are identical to the grid's, only the layout differs
+    (a wavelet-style subband decomposition); :func:`assemble_grid` converts
+    to the row-major plane when .hgi interop is needed.
+
+    Subband shapes are canvas shapes (padded to the 2**levels canvas);
+    container code stores them whole and decode crops at the end.
+    """
+    if predictor is None:
+        predictor = cell_prediction
+    h, w = image.shape[-2:]
+    image = _pad_canvas(image.astype(_U8), levels)
+    hp, wp = image.shape[-2:]
+    if levels == 0:
+        return image, [], image[..., :h, :w]
+
+    lossless = getattr(quantize, "error", None) == 0
+    coarse, quads = _quad_pyramid(image, levels)
+    anchors = coarse
+    subbands = []
+    for level in range(levels):
+        s1 = 1 << (levels - level - 1)
+        pred = predictor(coarse.astype(_I32))
+        true_q = quads[levels - level - 1]
+        masks = _quad_masks(pred.shape[-2], pred.shape[-1], s1, h, w, hp, wp)
+
+        recon_q: List[jnp.ndarray] = []
+        grid_q: List[jnp.ndarray] = []
+        for t, mask in zip(true_q, masks):
+            diff = (t.astype(_I32) - pred) & 255
+            if lossless:
+                recon_q.append(t)
+                grid_q.append(diff.astype(_U8))
+                continue
+            q = quantize(diff)
+            fix = ((pred + q) > 255) != ((pred + diff) > 255)
+            q = jnp.where(fix, diff, q)
+            r = (pred + q) & 255
+            if mask is not None:
+                r = jnp.where(mask, r, 0)
+            recon_q.append(r.astype(_U8))
+            grid_q.append(q.astype(_U8))
+        subbands.append(tuple(grid_q))
+        coarse = _interleave4(coarse, *recon_q)
+    return anchors, subbands, coarse[..., :h, :w]
+
+
+def decode_subbands(
+    anchors: jnp.ndarray,
+    subbands,
+    shape: Tuple[int, int],
+    levels: int,
+    predictor: Callable[[jnp.ndarray], jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Decode subband layout back to the image plane (crop to ``shape``)."""
+    if predictor is None:
+        predictor = cell_prediction
+    h, w = shape
+    if levels == 0:
+        return anchors[..., :h, :w]
+    step = 1 << levels
+    hp = _cdiv(h, step) * step
+    wp = _cdiv(w, step) * step
+    coarse = anchors.astype(_U8)
+    for level in range(levels):
+        s1 = 1 << (levels - level - 1)
+        pred = predictor(coarse.astype(_I32))
+        masks = _quad_masks(pred.shape[-2], pred.shape[-1], s1, h, w, hp, wp)
+        recon_q = []
+        for g, mask in zip(subbands[level], masks):
+            r = (pred + g.astype(_I32)) & 255
+            if mask is not None:
+                r = jnp.where(mask, r, 0)
+            recon_q.append(r.astype(_U8))
+        coarse = _interleave4(coarse, *recon_q)
+    return coarse[..., :h, :w]
+
+
+def assemble_grid(anchors: jnp.ndarray, subbands, shape: Tuple[int, int]):
+    """Interleave subband quads into the row-major residual grid plane.
+
+    Pure data movement (the values already match :func:`encode_plane`'s
+    grid bit-for-bit); used when .hgi interop requires row-major bytes.
+    """
+    h, w = shape
+    grid = anchors
+    for quads in subbands:
+        grid = _interleave4(grid, *quads)
+    return grid[..., :h, :w]
+
+
+def split_grid(grid: jnp.ndarray, levels: int):
+    """Inverse of :func:`assemble_grid`: row-major plane -> subband layout."""
+    grid = _pad_canvas(grid.astype(_U8), levels)
+    anchors, quads = _quad_pyramid(grid, levels)
+    return anchors, [quads[levels - 1 - l] for l in range(levels)]

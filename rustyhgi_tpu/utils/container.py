@@ -160,36 +160,123 @@ def read_hgi(data: bytes) -> Archive:
 
 
 # --------------------------------------------------------------------------
-# Native container (.thgi): pick the smaller of DEFLATE and rANS per archive.
+# Native container (.thgi): layouts x entropy codecs, smallest wins.
 # --------------------------------------------------------------------------
 
 _CODEC_DEFLATE = 0
 _CODEC_RANS = 1
 
+_LAYOUT_ROWMAJOR = 0
+_LAYOUT_SUBBAND = 1
 
-def write_thgi(archive: Archive) -> bytes:
-    """Serialize to the native container.
 
-    Layout: u32 LE magic, packed metadata, u8 codec tag, u64 LE raw size,
-    entropy-coded residual bytes (row-major, no bincode framing).  The codec
-    tag picks whichever of {DEFLATE-9, static rANS} is smaller for this
-    plane, so .thgi is never larger than the .hgi body.
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def subband_shapes(height: int, width: int, levels: int):
+    """Canvas-padded shapes of (anchors, per-level quads).
+
+    Returns ``(anchor_shape, [quad_shape per level])`` — quad shapes are
+    the packed coarse-lattice shapes, coarsest level first, derived from
+    the 2**levels canvas so the byte stream needs no shape framing.
     """
-    raw = archive.grid.tobytes()
-    deflated = _deflate_best(raw)
-    candidates = [(_CODEC_DEFLATE, deflated)]
+    step = 1 << levels
+    hp, wp = _cdiv(height, step) * step, _cdiv(width, step) * step
+    anchor = (hp // step, wp // step)
+    quads = []
+    for level in range(levels):
+        s2 = 1 << (levels - level)  # coarse spacing of this level
+        quads.append((hp // s2, wp // s2))
+    return anchor, quads
+
+
+def split_grid_np(grid: np.ndarray, levels: int):
+    """Row-major residual plane -> (anchors, subbands) on host (NumPy).
+
+    Subband order matches rustyhgi_tpu.ops.pyramid.encode_subbands:
+    anchors, then per level (coarsest first) the (q01, q10, q11) quads.
+    Host-side strided slicing is cheap (this is not the device path).
+    """
+    h, w = grid.shape
+    step = 1 << levels
+    hp, wp = _cdiv(h, step) * step, _cdiv(w, step) * step
+    canvas = np.zeros((hp, wp), dtype=np.uint8)
+    canvas[:h, :w] = grid
+    anchors = canvas[::step, ::step].copy()
+    subbands = []
+    for level in range(levels):
+        s1 = 1 << (levels - level - 1)
+        q01 = canvas[0 :: 2 * s1, s1 :: 2 * s1].copy()
+        q10 = canvas[s1 :: 2 * s1, 0 :: 2 * s1].copy()
+        q11 = canvas[s1 :: 2 * s1, s1 :: 2 * s1].copy()
+        subbands.append((q01, q10, q11))
+    return anchors, subbands
+
+
+def assemble_grid_np(
+    anchors: np.ndarray, subbands, height: int, width: int, levels: int
+) -> np.ndarray:
+    """Inverse of :func:`split_grid_np` (crops the canvas padding)."""
+    step = 1 << levels
+    hp, wp = _cdiv(height, step) * step, _cdiv(width, step) * step
+    canvas = np.zeros((hp, wp), dtype=np.uint8)
+    canvas[::step, ::step] = anchors
+    for level, (q01, q10, q11) in enumerate(subbands):
+        s1 = 1 << (levels - level - 1)
+        canvas[0 :: 2 * s1, s1 :: 2 * s1] = q01
+        canvas[s1 :: 2 * s1, 0 :: 2 * s1] = q10
+        canvas[s1 :: 2 * s1, s1 :: 2 * s1] = q11
+    return canvas[:height, :width].copy()
+
+
+def _subband_payload(archive: Archive) -> bytes:
+    anchors, subbands = split_grid_np(
+        archive.grid, archive.metadata.scale_level
+    )
+    parts = [anchors.tobytes()]
+    for quads in subbands:
+        parts.extend(q.tobytes() for q in quads)
+    return b"".join(parts)
+
+
+def _entropy_candidates(raw: bytes):
+    yield _CODEC_DEFLATE, _deflate_best(raw)
     try:
         from ..ops.entropy import rans_encode
 
-        candidates.append((_CODEC_RANS, rans_encode(raw)))
+        yield _CODEC_RANS, rans_encode(raw)
     except Exception:
         pass  # native entropy backend unavailable; DEFLATE always works
-    tag, body = min(candidates, key=lambda c: len(c[1]))
+
+
+def write_thgi(archive: Archive, layouts=("rowmajor", "subband")) -> bytes:
+    """Serialize to the native container.
+
+    Layout: u32 LE magic, packed metadata, u8 layout tag, u8 codec tag,
+    u64 LE raw size, entropy-coded payload.  Layouts: ``rowmajor`` (the
+    grid plane) and ``subband`` (anchors + per-level residual quads in the
+    device kernel's natural order; shapes derived from metadata, no extra
+    framing).  The writer emits whichever (layout, codec) combination is
+    smallest, so .thgi is never larger than the .hgi body.
+    """
+    candidates = []
+    if "rowmajor" in layouts:
+        raw = archive.grid.tobytes()
+        for tag, body in _entropy_candidates(raw):
+            candidates.append((_LAYOUT_ROWMAJOR, tag, len(raw), body))
+    if "subband" in layouts and archive.metadata.scale_level > 0:
+        raw = _subband_payload(archive)
+        for tag, body in _entropy_candidates(raw):
+            candidates.append((_LAYOUT_SUBBAND, tag, len(raw), body))
+    if not candidates:
+        raise ValueError(f"no valid layouts among {layouts!r}")
+    layout, tag, raw_len, body = min(candidates, key=lambda c: len(c[3]))
     return b"".join(
         (
             struct.pack("<I", THGI_MAGIC),
             archive.metadata.pack(),
-            struct.pack("<BQ", tag, len(raw)),
+            struct.pack("<BBQ", layout, tag, raw_len),
             body,
         )
     )
@@ -202,8 +289,8 @@ def read_thgi(data: bytes) -> Archive:
     off = 4
     meta = Metadata.unpack(data[off : off + _METADATA.size])
     off += _METADATA.size
-    tag, raw_size = struct.unpack_from("<BQ", data, off)
-    off += struct.calcsize("<BQ")
+    layout, tag, raw_size = struct.unpack_from("<BBQ", data, off)
+    off += struct.calcsize("<BBQ")
     body = data[off:]
     if tag == _CODEC_DEFLATE:
         raw = _inflate_raw(body)
@@ -213,10 +300,36 @@ def read_thgi(data: bytes) -> Archive:
         raw = rans_decode(body, raw_size)
     else:
         raise ValueError(f"unknown entropy codec tag {tag}")
-    grid = np.frombuffer(raw, dtype=np.uint8, count=raw_size).reshape(
-        meta.height, meta.width
-    )
-    return Archive(meta, grid.copy())
+    if len(raw) < raw_size:
+        raise ValueError("truncated payload")
+
+    if layout == _LAYOUT_ROWMAJOR:
+        if raw_size != meta.width * meta.height:
+            raise ValueError("payload size does not match dimensions")
+        grid = np.frombuffer(raw, dtype=np.uint8, count=raw_size).reshape(
+            meta.height, meta.width
+        )
+        return Archive(meta, grid.copy())
+    if layout == _LAYOUT_SUBBAND:
+        a_shape, q_shapes = subband_shapes(
+            meta.height, meta.width, meta.scale_level
+        )
+        pos = 0
+
+        def take(shape):
+            nonlocal pos
+            n = shape[0] * shape[1]
+            arr = np.frombuffer(raw, np.uint8, count=n, offset=pos).reshape(shape)
+            pos += n
+            return arr
+
+        anchors = take(a_shape)
+        subbands = [tuple(take(s) for _ in range(3)) for s in q_shapes]
+        grid = assemble_grid_np(
+            anchors, subbands, meta.height, meta.width, meta.scale_level
+        )
+        return Archive(meta, grid)
+    raise ValueError(f"unknown layout tag {layout}")
 
 
 def write_archive(archive: Archive, fmt: str = "hgi") -> bytes:

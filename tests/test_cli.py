@@ -1,0 +1,105 @@
+"""CLI surface tests (reference parity: options.rs:13-65, main.rs:41-128)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from rustyhgi_tpu.cli import main
+from rustyhgi_tpu.utils.imageio import load_luma, save_gray
+
+from conftest import synthetic_image
+
+
+@pytest.fixture
+def workdir(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    return tmp_path
+
+
+@pytest.fixture
+def png(workdir):
+    path = str(workdir / "img.png")
+    save_gray(path, synthetic_image(40, 24))
+    return path
+
+
+def test_encode_decode_roundtrip(workdir, png):
+    assert main(["encode", "-i", png, "-o", "a.hgi", "-q", "lossless"]) == 0
+    assert main(["decode", "-i", "a.hgi", "-o", "b.png"]) == 0
+    assert np.array_equal(load_luma("b.png"), synthetic_image(40, 24))
+
+
+def test_lossy_flags_and_defaults(workdir, png):
+    # default level=4, quantizator=medium, case-insensitive (options.rs:55-64)
+    assert main(["encode", "-i", png, "-o", "m.hgi", "-q", "MeDiUm"]) == 0
+    assert main(["decode", "-i", "m.hgi", "-o", "m.png"]) == 0
+    err = np.abs(
+        load_luma("m.png").astype(int) - synthetic_image(40, 24).astype(int)
+    )
+    assert err.max() <= 20
+
+
+def test_test_subcommand_outputs(workdir, png, capsys):
+    assert main(["test", png, "-q", "lossless", "-s", "_t"]) == 0
+    out = capsys.readouterr().out
+    for field in ("Uncompressed:", "Compressed:", "Ratio:", "SD:"):
+        assert field in out
+    assert "SD:           0.00" in out
+    assert os.path.exists("img_t.png")
+    assert os.path.exists("img_t.hgi")
+
+
+def test_error_paths(workdir, png, capsys):
+    with open("junk.bin", "wb") as f:
+        f.write(b"\x01" * 64)
+    assert main(["decode", "-i", "junk.bin", "-o", "x.png"]) == 1
+    assert "magic" in capsys.readouterr().err
+    assert main(["encode", "-i", png, "-o", "x.hgi", "-q", "nope"]) == 1
+    assert "quantization" in capsys.readouterr().err
+
+
+def test_backend_parity(workdir, png):
+    for backend in ("jax", "oracle", "native"):
+        try:
+            rc = main(
+                ["encode", "-i", png, "-o", f"{backend}.hgi", "-q", "low",
+                 "--backend", backend]
+            )
+        except Exception:
+            if backend == "native":
+                pytest.skip("native library not built")
+            raise
+        assert rc == 0
+    jax_bytes = open("jax.hgi", "rb").read()
+    oracle_bytes = open("oracle.hgi", "rb").read()
+    assert jax_bytes == oracle_bytes
+    if os.path.exists("native.hgi"):
+        assert open("native.hgi", "rb").read() == jax_bytes
+
+
+def test_tiled_roundtrip(workdir, png):
+    assert main(
+        ["encode-tiled", "-i", png, "-o", "t.thgit", "--tile", "16",
+         "-q", "lossless", "--format", "thgi"]
+    ) == 0
+    assert main(["decode-tiled", "-i", "t.thgit", "-o", "t.png"]) == 0
+    assert np.array_equal(load_luma("t.png"), synthetic_image(40, 24))
+
+
+def test_profiling_utils():
+    from rustyhgi_tpu.utils.profiling import StageTimer, codec_metrics, psnr
+
+    a = synthetic_image(16, 16)
+    m = codec_metrics(a, a, 100)
+    assert m["sd"] == 0.0 and m["psnr_db"] == float("inf")
+    b = a.copy()
+    b[0, 0] ^= 255
+    assert codec_metrics(a, b, 100)["max_error"] == 255
+    assert 0 < psnr(a, b) < 100
+
+    t = StageTimer()
+    with t.stage("encode", items=a.size):
+        pass
+    assert "encode" in t.report()
+    assert "encode" in str(t)
