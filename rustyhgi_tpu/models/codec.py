@@ -119,6 +119,37 @@ class HGICodec:
             return jax.vmap(fn)(grid)
         raise ValueError(f"expected [H, W] or [B, H, W], got {grid.shape}")
 
+    def encode_subbands(self, image):
+        """uint8 [H, W] image -> (anchors, subbands, recon) on device.
+
+        The subband layout is the kernel's natural output (per-level packed
+        residual quads) and skips the full-plane grid assembly — the
+        fastest complete encode; pair with the .thgi subband container.
+        """
+        image = jnp.asarray(image, dtype=jnp.uint8)
+        key = ("sb",) + image.shape
+        fn = self._encode_cache.get(key)
+        if fn is None:
+            levels, quant = self.levels, quantize_fn(self.quantization)
+            pred = self._predictor_fn
+            fn = jax.jit(
+                lambda img: pyramid.encode_subbands(img, levels, quant, pred)
+            )
+            self._encode_cache[key] = fn
+        return fn(image)
+
+    def decode_subbands(self, anchors, subbands, shape):
+        """Subband layout -> uint8 [H, W] image on device."""
+        key = ("sb", tuple(shape))  # subband shapes derive from shape+levels
+        fn = self._decode_cache.get(key)
+        if fn is None:
+            levels, pred = self.levels, self._predictor_fn
+            fn = jax.jit(
+                lambda a, s: pyramid.decode_subbands(a, s, shape, levels, pred)
+            )
+            self._decode_cache[key] = fn
+        return fn(anchors, subbands)
+
     # -- archive path (device compute + host entropy/container) -------------
 
     def _metadata(self, height: int, width: int) -> Metadata:
