@@ -49,6 +49,12 @@ def _add_encoding_options(p: argparse.ArgumentParser) -> None:
         default="hgi",
         help="container format (hgi = reference byte-compatible)",
     )
+    p.add_argument(
+        "--fast",
+        action="store_true",
+        help="thgi only: device-side Pallas bit-pack entropy stage "
+        "(throughput over size; no host entropy crunch)",
+    )
 
 
 def _make_grid(image: np.ndarray, levels: int, quant, backend: str):
@@ -80,6 +86,14 @@ def _decode_grid(grid: np.ndarray, levels: int, backend: str) -> np.ndarray:
     raise ValueError(backend)
 
 
+def _serialize(archive: Archive, args) -> bytes:
+    if args.format == "thgi" and getattr(args, "fast", False):
+        from .utils.container import write_thgi
+
+        return write_thgi(archive, fast=True)
+    return write_archive(archive, args.format)
+
+
 def cmd_encode(args) -> int:
     quant = QuantizationLevel.parse(args.quantizator)
     image = load_luma(args.input)
@@ -87,7 +101,7 @@ def cmd_encode(args) -> int:
     grid = _make_grid(image, args.level, quant, args.backend)
     archive = Archive(codec._metadata(*image.shape), grid)
     with open(args.output, "wb") as f:
-        f.write(write_archive(archive, args.format))
+        f.write(_serialize(archive, args))
     return 0
 
 

@@ -52,7 +52,6 @@ class HGICodec:
         levels: int = 4,
         quantization: QuantizationLevel | str = QuantizationLevel.MEDIUM,
         predictor: str = "crossed",
-        use_pallas: bool = False,
     ):
         if isinstance(quantization, str):
             quantization = QuantizationLevel.parse(quantization)
@@ -64,7 +63,6 @@ class HGICodec:
         self.quantization = quantization
         self.predictor = predictor
         self._predictor_fn = predictor_fn(predictor)
-        self.use_pallas = use_pallas
         self._encode_cache: Dict[Tuple[int, int], jax.stages.Wrapped] = {}
         self._decode_cache: Dict[Tuple[int, int], jax.stages.Wrapped] = {}
 
@@ -75,16 +73,9 @@ class HGICodec:
         if fn is None:
             levels, quant = self.levels, quantize_fn(self.quantization)
             pred = self._predictor_fn
-            if self.use_pallas:
-                from ..ops import pallas_kernels
-
-                fn = jax.jit(
-                    lambda img: pallas_kernels.encode_plane(img, levels, quant)
-                )
-            else:
-                fn = jax.jit(
-                    lambda img: pyramid.encode_plane(img, levels, quant, pred)
-                )
+            fn = jax.jit(
+                lambda img: pyramid.encode_plane(img, levels, quant, pred)
+            )
             self._encode_cache[shape] = fn
         return fn
 

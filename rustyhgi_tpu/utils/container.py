@@ -165,6 +165,7 @@ def read_hgi(data: bytes) -> Archive:
 
 _CODEC_DEFLATE = 0
 _CODEC_RANS = 1
+_CODEC_BITPACK = 2  # device-side Pallas bit-plane pack (fast mode)
 
 _LAYOUT_ROWMAJOR = 0
 _LAYOUT_SUBBAND = 1
@@ -240,7 +241,16 @@ def _subband_payload(archive: Archive) -> bytes:
     return b"".join(parts)
 
 
-def _entropy_candidates(raw: bytes):
+def _entropy_candidates(raw: bytes, fast: bool = False):
+    if fast:
+        # Device-side Pallas bit-plane pack: end-to-end encode cost is
+        # device compute + transfer, no host entropy crunch.  Compression
+        # is data-dependent (block-max widths suffer on heavy-tailed
+        # residuals), hence explicit opt-in rather than a size candidate.
+        from ..ops.pallas_kernels import pack_bytes
+
+        yield _CODEC_BITPACK, pack_bytes(np.frombuffer(raw, np.uint8))
+        return
     yield _CODEC_DEFLATE, _deflate_best(raw)
     try:
         from ..ops.entropy import rans_encode
@@ -250,7 +260,9 @@ def _entropy_candidates(raw: bytes):
         pass  # native entropy backend unavailable; DEFLATE always works
 
 
-def write_thgi(archive: Archive, layouts=("rowmajor", "subband")) -> bytes:
+def write_thgi(
+    archive: Archive, layouts=("rowmajor", "subband"), fast: bool = False
+) -> bytes:
     """Serialize to the native container.
 
     Layout: u32 LE magic, packed metadata, u8 layout tag, u8 codec tag,
@@ -258,16 +270,18 @@ def write_thgi(archive: Archive, layouts=("rowmajor", "subband")) -> bytes:
     grid plane) and ``subband`` (anchors + per-level residual quads in the
     device kernel's natural order; shapes derived from metadata, no extra
     framing).  The writer emits whichever (layout, codec) combination is
-    smallest, so .thgi is never larger than the .hgi body.
+    smallest, so .thgi is never larger than the .hgi body.  With
+    ``fast=True`` the payload is device-bit-packed instead of host
+    entropy-coded (throughput over size).
     """
     candidates = []
     if "rowmajor" in layouts:
         raw = archive.grid.tobytes()
-        for tag, body in _entropy_candidates(raw):
+        for tag, body in _entropy_candidates(raw, fast):
             candidates.append((_LAYOUT_ROWMAJOR, tag, len(raw), body))
     if "subband" in layouts and archive.metadata.scale_level > 0:
         raw = _subband_payload(archive)
-        for tag, body in _entropy_candidates(raw):
+        for tag, body in _entropy_candidates(raw, fast):
             candidates.append((_LAYOUT_SUBBAND, tag, len(raw), body))
     if not candidates:
         raise ValueError(f"no valid layouts among {layouts!r}")
@@ -298,6 +312,10 @@ def read_thgi(data: bytes) -> Archive:
         from ..ops.entropy import rans_decode
 
         raw = rans_decode(body, raw_size)
+    elif tag == _CODEC_BITPACK:
+        from ..ops.pallas_kernels import unpack_bytes
+
+        raw = unpack_bytes(body).tobytes()
     else:
         raise ValueError(f"unknown entropy codec tag {tag}")
     if len(raw) < raw_size:
