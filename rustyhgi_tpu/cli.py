@@ -106,8 +106,28 @@ def cmd_encode(args) -> int:
 
 
 def cmd_decode(args) -> int:
+    import numpy as np
+
     with open(args.input, "rb") as f:
-        archive = read_archive(f.read())
+        data = f.read()
+    if args.backend == "jax":
+        # Subband-layout .thgi archives feed the device decoder directly
+        # (no grid assembly, no device re-split).
+        try:
+            from .utils.container import read_thgi_subbands
+
+            meta, anchors, subbands = read_thgi_subbands(data)
+            codec = HGICodec(meta.scale_level)
+            image = np.asarray(
+                codec.decode_subbands(
+                    anchors, subbands, (meta.height, meta.width)
+                )
+            )
+            save_gray(args.output, image)
+            return 0
+        except ValueError:
+            pass  # not a subband .thgi; fall through to the grid path
+    archive = read_archive(data)
     image = _decode_grid(
         archive.grid, archive.metadata.scale_level, args.backend
     )

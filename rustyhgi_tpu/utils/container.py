@@ -296,6 +296,65 @@ def write_thgi(
     )
 
 
+def read_thgi_payload(data: bytes):
+    """Parse a .thgi container to ``(metadata, layout_tag, raw_payload)``.
+
+    ``raw_payload`` is the decompressed byte stream; for the subband
+    layout, :func:`read_thgi_subbands` slices it into arrays without the
+    row-major assembly, enabling the device's direct subband decode.
+    """
+    (magic,) = struct.unpack_from("<I", data, 0)
+    if magic != THGI_MAGIC:
+        raise ValueError("incorrect magic number")
+    off = 4
+    meta = Metadata.unpack(data[off : off + _METADATA.size])
+    off += _METADATA.size
+    layout, tag, raw_size = struct.unpack_from("<BBQ", data, off)
+    off += struct.calcsize("<BBQ")
+    body = data[off:]
+    if tag == _CODEC_DEFLATE:
+        raw = _inflate_raw(body)
+    elif tag == _CODEC_RANS:
+        from ..ops.entropy import rans_decode
+
+        raw = rans_decode(body, raw_size)
+    elif tag == _CODEC_BITPACK:
+        from ..ops.pallas_kernels import unpack_bytes
+
+        raw = unpack_bytes(body).tobytes()
+    else:
+        raise ValueError(f"unknown entropy codec tag {tag}")
+    if len(raw) < raw_size:
+        raise ValueError("truncated payload")
+    return meta, layout, raw
+
+
+def read_thgi_subbands(data: bytes):
+    """Parse a subband-layout .thgi to ``(metadata, anchors, subbands)``.
+
+    Raises ValueError for row-major archives (callers fall back to
+    :func:`read_thgi`).  The arrays feed
+    ``HGICodec.decode_subbands`` directly — no grid assembly, no device
+    re-split.
+    """
+    meta, layout, raw = read_thgi_payload(data)
+    if layout != _LAYOUT_SUBBAND:
+        raise ValueError("archive is not in subband layout")
+    a_shape, q_shapes = subband_shapes(meta.height, meta.width, meta.scale_level)
+    pos = 0
+
+    def take(shape):
+        nonlocal pos
+        n = shape[0] * shape[1]
+        arr = np.frombuffer(raw, np.uint8, count=n, offset=pos).reshape(shape)
+        pos += n
+        return arr
+
+    anchors = take(a_shape)
+    subbands = [tuple(take(s) for _ in range(3)) for s in q_shapes]
+    return meta, anchors, subbands
+
+
 def read_thgi(data: bytes) -> Archive:
     (magic,) = struct.unpack_from("<I", data, 0)
     if magic != THGI_MAGIC:

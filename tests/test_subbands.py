@@ -93,3 +93,20 @@ def test_thgi_levels0_rowmajor_only(rng):
     meta = Metadata(QuantizationLevel.LOSSLESS, Interpolation.CROSSED, 8, 8, 0)
     blob = write_thgi(Archive(meta, grid))
     assert np.array_equal(read_thgi(blob).grid, grid)
+
+
+def test_read_thgi_subbands_direct(rng):
+    from rustyhgi_tpu.utils.container import read_thgi_subbands
+
+    grid = rng.integers(0, 256, size=(40, 56), dtype=np.uint8)
+    meta = Metadata(QuantizationLevel.LOW, Interpolation.CROSSED, 56, 40, 3)
+    blob = write_thgi(Archive(meta, grid), layouts=("subband",))
+    m2, anchors, subbands = read_thgi_subbands(blob)
+    assert m2 == meta
+    want_a, want_s = split_grid_np(grid, 3)
+    assert np.array_equal(anchors, want_a)
+    for lvl in range(3):
+        for got, want in zip(subbands[lvl], want_s[lvl]):
+            assert np.array_equal(got, want)
+    with pytest.raises(ValueError, match="subband"):
+        read_thgi_subbands(write_thgi(Archive(meta, grid), layouts=("rowmajor",)))
