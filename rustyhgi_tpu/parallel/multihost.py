@@ -78,10 +78,18 @@ def encode_tiled_multihost(
 
     grids, _, hist = encode_batch_sharded(padded, levels, quantization, mesh=mesh)
     # Deterministic ordered gather: pull the batch in global index order.
-    # (For multi-process arrays this is a cross-host DCN fetch of only the
-    # compressed-plane bytes; fully-addressable single-host arrays are a
-    # device->host copy.)
-    grids_host = np.asarray(jax.device_get(grids))[: n_tiles]
+    # Multi-process global arrays span non-addressable devices, so the
+    # gather is an explicit DCN allgather (shards concatenate in sharding
+    # order -> batch order is preserved); single-process arrays are a
+    # plain device->host copy.
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        grids_host = np.asarray(
+            multihost_utils.process_allgather(grids, tiled=True)
+        )[:n_tiles]
+    else:
+        grids_host = np.asarray(jax.device_get(grids))[:n_tiles]
 
     if jax.process_index() != 0:
         return None
