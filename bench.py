@@ -122,7 +122,37 @@ def main() -> int:
 
     t_dec = device_seconds_per_call(dec_step, dbatch)
     dec_mpixps = npix_batch / t_dec / 1e6
-    log(f"decode: {t_dec * 1e3:.2f} ms/batch -> {dec_mpixps:.0f} MPix/s")
+    log(f"decode (grid): {t_dec * 1e3:.2f} ms/batch -> {dec_mpixps:.0f} MPix/s")
+
+    # Subband-direct decode (the .thgi subband archive path): no grid
+    # split — the quads feed the per-level reconstruct directly.
+    import jax as _jax
+    from jax import lax as _lax
+
+    enc_sb = jax.jit(lambda x: pyramid.encode_subbands(x, LEVELS, quant))
+    anchors, subbands, _ = enc_sb(dbatch)
+
+    def _chained_sb(k):
+        @jax.jit
+        def f(a, s):
+            def body(i, carry):
+                r = pyramid.decode_subbands(carry, s, (H, W), LEVELS)
+                return carry ^ r[..., : carry.shape[-2], : carry.shape[-1]]
+
+            return _lax.fori_loop(0, k, body, a)
+
+        return f
+
+    times = {}
+    for k in (2, 18):
+        f = _chained_sb(k)
+        np.asarray(f(anchors, subbands).ravel()[:1])
+        times[k] = median_time(
+            lambda: np.asarray(f(anchors, subbands).ravel()[:1])
+        )
+    t_dec_sb = (times[18] - times[2]) / 16
+    dec_sb_mpixps = npix_batch / t_dec_sb / 1e6
+    log(f"decode (subband): {t_dec_sb * 1e3:.2f} ms/batch -> {dec_sb_mpixps:.0f} MPix/s")
 
     quant_m = quantize_fn(QuantizationLevel.MEDIUM)
 
@@ -197,6 +227,7 @@ def main() -> int:
         "encode_lossless_mpix_s": enc_mpixps,
         "encode_grid_lossless_mpix_s": enc_grid_mpixps,
         "decode_mpix_s": dec_mpixps,
+        "decode_subband_mpix_s": dec_sb_mpixps,
         "encode_medium_mpix_s": enc_m_mpixps,
         "baseline_scalar_cpp": base,
         "lena_container_bytes": sizes,
