@@ -174,8 +174,19 @@ def cmd_encode_tiled(args) -> int:
 
     quant = QuantizationLevel.parse(args.quantizator)
     image = load_luma(args.input)
+    mesh_shape = None
+    if args.mesh:
+        parts = args.mesh.split(",")
+        if len(parts) != 2:
+            raise ValueError("--mesh expects DATA,TILE (e.g. 4,2)")
+        mesh_shape = (int(parts[0]), int(parts[1]))
     blocks = encode_tiled_multihost(
-        image, (args.tile, args.tile), args.level, quant, fmt=args.format
+        image,
+        (args.tile, args.tile),
+        args.level,
+        quant,
+        fmt=args.format,
+        mesh_shape=mesh_shape,
     )
     if blocks is None:  # non-zero process in a multi-host run
         return 0
@@ -258,6 +269,13 @@ def main(argv=None) -> int:
     p.add_argument("-i", "--input", required=True)
     p.add_argument("-o", "--output", required=True, help="output .thgit path")
     p.add_argument("--tile", type=int, default=512, help="square tile size")
+    p.add_argument(
+        "--mesh",
+        type=str,
+        default=None,
+        help="device mesh shape as DATA,TILE (default: all devices on the"
+        " data axis)",
+    )
     _add_encoding_options(p)
     p.set_defaults(fn=cmd_encode_tiled)
 

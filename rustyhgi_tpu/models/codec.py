@@ -141,6 +141,20 @@ class HGICodec:
             self._decode_cache[key] = fn
         return fn(anchors, subbands)
 
+    def compile(self, *shapes: Tuple[int, int]) -> "HGICodec":
+        """Ahead-of-time warm-up: compile encode/decode for given shapes.
+
+        Serving deployments call this once at startup so no request pays
+        XLA compile time; combined with a persistent compilation cache
+        (``jax.config.update("jax_compilation_cache_dir", ...)``) the
+        executables also survive process restarts.  Returns self.
+        """
+        for shape in shapes:
+            zero = jnp.zeros(shape, jnp.uint8)
+            self._encode_fn(shape).lower(zero).compile()
+            self._decode_fn(shape).lower(zero).compile()
+        return self
+
     # -- archive path (device compute + host entropy/container) -------------
 
     def _metadata(self, height: int, width: int) -> Metadata:

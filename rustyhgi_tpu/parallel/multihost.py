@@ -57,6 +57,7 @@ def encode_tiled_multihost(
     levels: int,
     quantization: QuantizationLevel,
     fmt: str = "thgi",
+    mesh_shape: Optional[Tuple[int, int]] = None,
 ) -> Optional[List[bytes]]:
     """Encode a large plane as tiled independent streams across all hosts.
 
@@ -72,7 +73,7 @@ def encode_tiled_multihost(
 
     tiles, shape = tile_plane(plane, tile)
     n_tiles = tiles.shape[0]
-    mesh = make_mesh()
+    mesh = make_mesh(mesh_shape)
     n_dev = mesh.devices.size
     padded, n_pad = pad_batch(tiles, n_dev)
 

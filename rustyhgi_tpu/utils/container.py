@@ -85,7 +85,16 @@ class Metadata:
 
     @classmethod
     def unpack(cls, raw: bytes) -> "Metadata":
+        if len(raw) < _METADATA.size:
+            raise ValueError("truncated metadata")
         q, interp, w, h, scale = _METADATA.unpack(raw)
+        # Sanity bounds on untrusted input: cap the plane at 2^32 pixels
+        # and the pyramid depth at 32 so a hostile header cannot trigger
+        # absurd allocations downstream.
+        if w * h > 1 << 32 or scale > 32:
+            raise ValueError(
+                f"implausible archive dimensions {w}x{h} levels={scale}"
+            )
         return cls(QuantizationLevel(q), interp, w, h, scale)
 
 

@@ -103,3 +103,21 @@ def test_profiling_utils():
         pass
     assert "encode" in t.report()
     assert "encode" in str(t)
+
+
+def test_tiled_mesh_flag(workdir, png):
+    assert main(
+        ["encode-tiled", "-i", png, "-o", "tm.thgit", "--tile", "16",
+         "-q", "lossless", "--mesh", "4,2"]
+    ) == 0
+    assert main(["decode-tiled", "-i", "tm.thgit", "-o", "tm.png"]) == 0
+    assert np.array_equal(load_luma("tm.png"), synthetic_image(40, 24))
+
+
+def test_codec_compile_warmup():
+    from rustyhgi_tpu.models.codec import HGICodec
+
+    c = HGICodec(3, "medium").compile((16, 16), (24, 40))
+    img = synthetic_image(40, 24)  # synthetic_image(w, h) -> [h, w]
+    grid, _ = c.encode_plane(img)
+    assert grid.shape == (24, 40)

@@ -79,3 +79,29 @@ def test_grid_shape_validation():
     meta = Metadata(QuantizationLevel.LOW, Interpolation.CROSSED, 4, 4, 2)
     with pytest.raises(ValueError, match="shape"):
         Archive(meta, np.zeros((3, 4), dtype=np.uint8))
+
+
+def test_hostile_header_rejected():
+    import struct
+
+    from rustyhgi_tpu.utils.container import HGI_MAGIC
+
+    # Absurd dimensions must be rejected before any allocation.
+    meta = struct.pack("<IIIIQ", 0, 0, 0xFFFFFFFF, 0xFFFFFFFF, 4)
+    blob = struct.pack("<I", HGI_MAGIC) + meta + b"\x00" * 16
+    with pytest.raises(ValueError, match="implausible"):
+        read_hgi(blob)
+    blob = struct.pack("<I", HGI_MAGIC) + struct.pack(
+        "<IIIIQ", 0, 0, 4, 4, 10**6
+    ) + b"\x00" * 16
+    with pytest.raises(ValueError, match="implausible"):
+        read_hgi(blob)
+
+
+def test_truncated_metadata_rejected():
+    import struct
+
+    from rustyhgi_tpu.utils.container import HGI_MAGIC
+
+    with pytest.raises(ValueError):
+        read_hgi(struct.pack("<I", HGI_MAGIC) + b"\x00" * 4)
