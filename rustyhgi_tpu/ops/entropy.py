@@ -24,7 +24,7 @@ __all__ = ["rans_encode", "rans_decode", "normalized_freqs"]
 
 _SCALE_BITS = 14
 _M = 1 << _SCALE_BITS
-_L = 1 << 23
+_WORD_L = 1 << 16  # word-renorm lower bound (native/rans.cpp kWordL)
 
 
 def normalized_freqs(counts: np.ndarray) -> np.ndarray:
@@ -42,22 +42,32 @@ def normalized_freqs(counts: np.ndarray) -> np.ndarray:
         return freq.astype(np.uint16)
     present = counts > 0
     scaled = (counts.astype(object) * _M) // total  # exact integer math
-    freq[present] = np.maximum(1, np.array(scaled[present], dtype=np.int64))
+    # Every present symbol in [1, _M - 1] (the word-renorm threshold
+    # f << 18 must fit uint32); mirrors native/rans.cpp exactly so shared
+    # tables are bit-identical across backends.
+    freq[present] = np.clip(
+        np.array(scaled[present], dtype=np.int64), 1, _M - 1
+    )
     drift = _M - int(freq.sum())
     max_sym = int(counts.argmax())
-    if freq[max_sym] + drift >= 1:
-        freq[max_sym] += drift
+    nf = int(freq[max_sym]) + drift
+    if 1 <= nf <= _M - 1:
+        freq[max_sym] = nf
     else:
-        drift += int(freq[max_sym]) - 1
-        freq[max_sym] = 1
         for i in range(256):
             if drift == 0:
                 break
-            if i == max_sym or freq[i] <= 1:
-                continue
-            take = min(int(freq[i]) - 1, -drift) if drift < 0 else 0
-            freq[i] -= take
-            drift += take
+            f = int(freq[i])
+            room_up = _M - 1 - f
+            room_dn = f - 1 if f > 0 else 0
+            if drift > 0:
+                d = min(drift, room_up)
+                if f == 0:
+                    d = min(drift, _M - 1)
+            else:
+                d = max(drift, -room_dn)
+            freq[i] = f + d
+            drift -= d
     assert int(freq.sum()) == _M
     return freq.astype(np.uint16)
 
@@ -89,7 +99,8 @@ def rans_decode(data: bytes, raw_size: int) -> bytes:
 # -- pure-Python mirror (slow, for portability and cross-validation) -------
 
 
-_WAYS = 8  # interleave width; must match native/rans.cpp kWays
+_WAYS = 4  # interleave width; must match native/rans.cpp kWays
+_VARIANT = 0xC0 | _WAYS  # per-state word-renormalized streams
 
 
 def _py_rans_encode(data: bytes, freqs: Optional[np.ndarray] = None) -> bytes:
@@ -103,31 +114,38 @@ def _py_rans_encode(data: bytes, freqs: Optional[np.ndarray] = None) -> bytes:
     cum = np.zeros(257, dtype=np.uint32)
     cum[1:] = np.cumsum(freq)
 
-    out = bytearray()
-    x = [_L] * _WAYS
+    # Word renorm (at most one u16/symbol), one independent stream per
+    # state, emitted backward; see native/rans.cpp for the layout.
+    outs = [bytearray() for _ in range(_WAYS)]
+    x = [_WORD_L] * _WAYS
     n = len(src)
     for i in range(n - 1, -1, -1):
         s = int(src[i])
         fs = int(freq[s])
         w = i % _WAYS
         xs = x[w]
-        x_max = ((_L >> _SCALE_BITS) << 8) * fs
-        while xs >= x_max:
-            out.append(xs & 0xFF)
-            xs >>= 8
+        if xs >= ((_WORD_L >> _SCALE_BITS) << 16) * fs:
+            outs[w].append((xs >> 8) & 0xFF)  # reversed later -> LE pairs
+            outs[w].append(xs & 0xFF)
+            xs >>= 16
         x[w] = ((xs // fs) << _SCALE_BITS) + (xs % fs) + int(cum[s])
-    states = b"".join(x[w].to_bytes(4, "big") for w in range(_WAYS))
-    stream = states + bytes(out[::-1])
-    header = (
-        freq.astype("<u2").tobytes()
-        + bytes([_WAYS])
-        + len(stream).to_bytes(4, "little")
+    streams = [
+        x[w].to_bytes(4, "big") + bytes(outs[w][::-1]) for w in range(_WAYS)
+    ]
+    total = sum(len(s) for s in streams)
+    return b"".join(
+        [
+            freq.astype("<u2").tobytes(),
+            bytes([_VARIANT]),
+            total.to_bytes(4, "little"),
+        ]
+        + [len(s).to_bytes(4, "little") for s in streams]
+        + streams
     )
-    return header + stream
 
 
 def _py_rans_decode(data: bytes, raw_size: int) -> bytes:
-    hdr = 512 + 1 + 4
+    hdr = 512 + 1 + 4 + 4 * _WAYS
     if len(data) < hdr:
         raise ValueError("rans stream too short")
     freq = np.frombuffer(data[:512], dtype="<u2").astype(np.uint32)
@@ -135,21 +153,32 @@ def _py_rans_decode(data: bytes, raw_size: int) -> bytes:
     cum[1:] = np.cumsum(freq)
     if int(cum[256]) != _M:
         raise ValueError("invalid rans frequency table")
-    if data[512] != _WAYS:
-        raise ValueError(f"unsupported rans interleave width {data[512]}")
-    stream_len = int.from_bytes(data[513:517], "little")
-    stream = data[hdr : hdr + stream_len]
-    if len(stream) < 4 * _WAYS:
+    if data[512] != _VARIANT:
+        raise ValueError(f"unsupported rans stream variant {data[512]:#x}")
+    total = int.from_bytes(data[513:517], "little")
+    lens = [
+        int.from_bytes(data[517 + 4 * w : 521 + 4 * w], "little")
+        for w in range(_WAYS)
+    ]
+    if sum(lens) != total or any(l < 4 for l in lens):
+        raise ValueError("inconsistent rans stream lengths")
+    body = data[hdr : hdr + total]
+    if len(body) < total:
         raise ValueError("truncated rans stream")
 
     slot2sym = np.zeros(_M, dtype=np.uint8)
     for s in range(256):
         slot2sym[cum[s] : cum[s + 1]] = s
 
-    x = [
-        int.from_bytes(stream[4 * w : 4 * w + 4], "big") for w in range(_WAYS)
-    ]
-    pos = 4 * _WAYS
+    streams, x, pos = [], [], []
+    off = 0
+    for w in range(_WAYS):
+        chunk = body[off : off + lens[w]]
+        off += lens[w]
+        x.append(int.from_bytes(chunk[:4], "big"))
+        streams.append(chunk)
+        pos.append(4)
+
     out = bytearray(raw_size)
     mask = _M - 1
     for i in range(raw_size):
@@ -159,10 +188,11 @@ def _py_rans_decode(data: bytes, raw_size: int) -> bytes:
         s = int(slot2sym[slot])
         out[i] = s
         xs = int(freq[s]) * (xs >> _SCALE_BITS) + slot - int(cum[s])
-        while xs < _L:
-            if pos >= len(stream):
+        if xs < _WORD_L:
+            st, p = streams[w], pos[w]
+            if p + 2 > len(st):
                 raise ValueError("rans stream underrun")
-            xs = (xs << 8) | stream[pos]
-            pos += 1
+            xs = (xs << 16) | st[p] | (st[p + 1] << 8)
+            pos[w] = p + 2
         x[w] = xs
     return bytes(out)
