@@ -161,16 +161,52 @@ def cmd_test(args) -> int:
     return 0
 
 
+def _read_thgit_prefix(path, tile, width, height):
+    """Count complete blocks in an existing .thgit (resume support).
+
+    Returns (n_complete_blocks, byte_offset_after_them), or None if the
+    file is absent or its header does not match the requested job.
+    """
+    import struct
+
+    try:
+        with open(path, "rb") as f:
+            data = f.read()
+    except OSError:
+        return None
+    if len(data) < 20:
+        return None
+    magic, t, w, h, n = struct.unpack_from("<IIIII", data, 0)
+    if (magic, t, w, h) != (0x7161A555, tile, width, height):
+        return None
+    off, k = 20, 0
+    while k < n and off + 8 <= len(data):
+        (blen,) = struct.unpack_from("<Q", data, off)
+        if off + 8 + blen > len(data):
+            break  # trailing partial block: drop it
+        off += 8 + blen
+        k += 1
+    return k, off
+
+
 def cmd_encode_tiled(args) -> int:
     """Gigapixel path: independent per-tile streams, sharded over devices.
 
     Output format (.thgit): u32 LE magic 0x7161A555, u32 tile, u32 width,
     u32 height, u32 n_blocks, then per block u64 LE length + block bytes
     (each block is a standalone .hgi/.thgi archive, row-major tile order).
+    Blocks are streamed to disk as they are compressed, so an interrupted
+    job leaves a valid prefix; ``--resume`` continues from the first
+    missing block (the per-tile restartability of SURVEY.md §5).
     """
     import struct
+    import sys as _sys
 
-    from .parallel.multihost import encode_tiled_multihost
+    import numpy as np
+
+    from .parallel.mesh import make_mesh
+    from .parallel.sharded import encode_batch_sharded, pad_batch, tile_plane
+    from .utils.container import write_archive
 
     quant = QuantizationLevel.parse(args.quantizator)
     image = load_luma(args.input)
@@ -180,22 +216,52 @@ def cmd_encode_tiled(args) -> int:
         if len(parts) != 2:
             raise ValueError("--mesh expects DATA,TILE (e.g. 4,2)")
         mesh_shape = (int(parts[0]), int(parts[1]))
-    blocks = encode_tiled_multihost(
-        image,
-        (args.tile, args.tile),
-        args.level,
-        quant,
-        fmt=args.format,
-        mesh_shape=mesh_shape,
-    )
-    if blocks is None:  # non-zero process in a multi-host run
-        return 0
-    with open(args.output, "wb") as f:
-        f.write(struct.pack("<IIIII", 0x7161A555, args.tile, image.shape[1],
-                            image.shape[0], len(blocks)))
-        for b in blocks:
+
+    tiles, _ = tile_plane(image, (args.tile, args.tile))
+    n_tiles = tiles.shape[0]
+    h, w = image.shape
+
+    start = 0
+    mode = "wb"
+    if getattr(args, "resume", False):
+        prefix = _read_thgit_prefix(args.output, args.tile, w, h)
+        if prefix is not None:
+            start, off = prefix
+            if start >= n_tiles:
+                return 0  # already complete
+            with open(args.output, "r+b") as f:
+                f.truncate(off)  # drop any trailing partial block
+            mode = "ab"
+            print(f"resuming at block {start}/{n_tiles}", file=_sys.stderr)
+
+    mesh = make_mesh(mesh_shape)
+    remaining = tiles[start:]
+    padded, _ = pad_batch(remaining, mesh.devices.size)
+
+    # Failure-detection tier: one retry for transient device/runtime
+    # errors before surfacing (per-tile work is idempotent).
+    for attempt in (1, 2):
+        try:
+            grids, _, _ = encode_batch_sharded(padded, args.level, quant, mesh=mesh)
+            grids_host = np.asarray(grids)[: remaining.shape[0]]
+            break
+        except Exception as e:
+            if attempt == 2:
+                raise
+            print(f"encode attempt failed ({e}); retrying", file=_sys.stderr)
+
+    codec = HGICodec(args.level, quant)
+    with open(args.output, mode) as f:
+        if mode == "wb":
+            f.write(struct.pack("<IIIII", 0x7161A555, args.tile, w, h, n_tiles))
+        for i in range(remaining.shape[0]):
+            archive = Archive(
+                codec._metadata(args.tile, args.tile), grids_host[i]
+            )
+            b = write_archive(archive, args.format)
             f.write(struct.pack("<Q", len(b)))
             f.write(b)
+            f.flush()  # interrupted jobs leave a valid resumable prefix
     return 0
 
 
@@ -275,6 +341,11 @@ def main(argv=None) -> int:
         default=None,
         help="device mesh shape as DATA,TILE (default: all devices on the"
         " data axis)",
+    )
+    p.add_argument(
+        "--resume",
+        action="store_true",
+        help="continue an interrupted job from the first missing block",
     )
     _add_encoding_options(p)
     p.set_defaults(fn=cmd_encode_tiled)

@@ -121,3 +121,34 @@ def test_codec_compile_warmup():
     img = synthetic_image(40, 24)  # synthetic_image(w, h) -> [h, w]
     grid, _ = c.encode_plane(img)
     assert grid.shape == (24, 40)
+
+
+def test_tiled_resume(workdir, png):
+    import struct
+
+    # Full run, then truncate to a partial prefix and resume.
+    assert main(
+        ["encode-tiled", "-i", png, "-o", "r.thgit", "--tile", "16",
+         "-q", "lossless"]
+    ) == 0
+    full = open("r.thgit", "rb").read()
+    # keep header + first 2 complete blocks (+ a garbage partial tail)
+    off, k = 20, 0
+    while k < 2:
+        (blen,) = struct.unpack_from("<Q", full, off)
+        off += 8 + blen
+        k += 1
+    open("r.thgit", "wb").write(full[:off] + b"\x07\x07\x07")
+    assert main(
+        ["encode-tiled", "-i", png, "-o", "r.thgit", "--tile", "16",
+         "-q", "lossless", "--resume"]
+    ) == 0
+    assert open("r.thgit", "rb").read() == full
+    # resuming a complete file is a no-op
+    assert main(
+        ["encode-tiled", "-i", png, "-o", "r.thgit", "--tile", "16",
+         "-q", "lossless", "--resume"]
+    ) == 0
+    assert open("r.thgit", "rb").read() == full
+    assert main(["decode-tiled", "-i", "r.thgit", "-o", "r.png"]) == 0
+    assert np.array_equal(load_luma("r.png"), synthetic_image(40, 24))
