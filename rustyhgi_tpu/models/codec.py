@@ -24,7 +24,18 @@ from ..ops import pyramid
 from ..ops.quantizers import QuantizationLevel, linear_error, quantize_fn
 from ..utils.container import Archive, Interpolation, Metadata
 
-__all__ = ["HGICodec", "CodecMetrics"]
+__all__ = ["HGICodec", "CodecMetrics", "load_exported"]
+
+
+def load_exported(blob: bytes):
+    """Load a serialized codec stage (see :meth:`HGICodec.export_encoder`).
+
+    Returns a callable running the compiled computation without retracing.
+    """
+    from jax import export as jexport
+
+    exported = jexport.deserialize(blob)
+    return lambda *args: exported.call(*args)
 
 
 class CodecMetrics(dict):
@@ -154,6 +165,26 @@ class HGICodec:
             self._encode_fn(shape).lower(zero).compile()
             self._decode_fn(shape).lower(zero).compile()
         return self
+
+    def export_encoder(self, shape: Tuple[int, int]) -> bytes:
+        """Serialize the shape-specialized encoder as a portable artifact.
+
+        Returns jax.export StableHLO bytes: a versioned, retracing-free
+        model artifact that any process (same or newer jax) can
+        :func:`load_exported` and call — the serving deployment story
+        (ship artifacts, not source).
+        """
+        from jax import export as jexport
+
+        spec = jax.ShapeDtypeStruct(shape, jnp.uint8)
+        return bytes(jexport.export(self._encode_fn(shape))(spec).serialize())
+
+    def export_decoder(self, shape: Tuple[int, int]) -> bytes:
+        """Serialize the shape-specialized decoder (see export_encoder)."""
+        from jax import export as jexport
+
+        spec = jax.ShapeDtypeStruct(shape, jnp.uint8)
+        return bytes(jexport.export(self._decode_fn(shape))(spec).serialize())
 
     # -- archive path (device compute + host entropy/container) -------------
 

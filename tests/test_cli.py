@@ -152,3 +152,22 @@ def test_tiled_resume(workdir, png):
     assert open("r.thgit", "rb").read() == full
     assert main(["decode-tiled", "-i", "r.thgit", "-o", "r.png"]) == 0
     assert np.array_equal(load_luma("r.png"), synthetic_image(40, 24))
+
+
+def test_export_serialized_roundtrip():
+    import numpy as np
+
+    from rustyhgi_tpu.models.codec import HGICodec, load_exported
+
+    c = HGICodec(3, "medium")
+    img = synthetic_image(48, 32)
+    enc_blob = c.export_encoder(img.shape)
+    dec_blob = c.export_decoder(img.shape)
+    assert isinstance(enc_blob, (bytes, bytearray)) and len(enc_blob) > 100
+
+    enc = load_exported(enc_blob)
+    dec = load_exported(dec_blob)
+    g, r = enc(img)
+    g2, r2 = c.encode_plane(img)
+    assert np.array_equal(np.asarray(g), np.asarray(g2))
+    assert np.array_equal(np.asarray(dec(np.asarray(g))), np.asarray(r2))
