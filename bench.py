@@ -103,9 +103,16 @@ def main() -> int:
         # Headline: the subband encode — a complete encode to the archivable
         # representation (the .thgi subband container's exact payload),
         # skipping the row-major grid assembly that exists only for .hgi
-        # byte interop.
-        anchors, subbands, recon = pyramid.encode_subbands(x, LEVELS, quant)
-        return recon
+        # byte interop.  The finest residual quad is XOR-mixed into the
+        # carry so the residual math stays live: in lossless mode recon
+        # alone equals the input and XLA would dead-code-eliminate the
+        # entire prediction/quantization pipeline.
+        anchors, subbands, _ = pyramid.encode_subbands(
+            x, LEVELS, quant, want_recon=False
+        )
+        q = subbands[-1][0]
+        pad = ((0, 0), (0, H - q.shape[1]), (0, W - q.shape[2]))
+        return x ^ jnp.pad(q, pad)
 
     def enc_grid_step(x):
         g, r = pyramid.encode_plane(x, LEVELS, quant)

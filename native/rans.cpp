@@ -17,11 +17,13 @@
 //     MOST ONE emission per symbol, making emit/refill branchless;
 //   * a single interleaved output stream serializes all states through one
 //     pointer whose advance depends on each symbol's table load -> each of
-//     the W = 8 states owns an INDEPENDENT stream, so the 8 dependency
-//     chains (slot -> 64KB-table load -> multiply -> refill) overlap fully.
-// Symbol i belongs to state i mod 8.  Encoding runs over symbols in
-// reverse, emitting backward into per-state buffers; decoding reads each
-// stream forward.  State x (u32) in [1<<16, 1<<32), scale M = 1<<14.
+//     each state owns an INDEPENDENT stream, so the dependency chains
+//     (slot -> 64KB-table load -> multiply -> refill) overlap fully.
+// W = 4 states balances chain overlap against x86-64 register pressure
+// (8 states + 8 stream pointers spill; 4 + 4 fit).  Symbol i belongs to
+// state i mod 4.  Encoding runs over symbols in reverse, emitting backward
+// into per-state buffers; decoding reads each stream forward.
+// State x (u32) in [1<<16, 1<<32), scale M = 1<<14.
 //
 // Stream layout produced by rans_compress:
 //   u16 LE freq[256]    (normalized to sum 1<<14; 512 bytes)
@@ -332,7 +334,7 @@ int rans_decompress(const uint8_t* __restrict in, uint64_t in_size,
     }
   }
 
-  // Branchless word refill from the state's own stream: the 8 dependency
+  // Branchless word refill from the state's own stream: the per-state
   // chains (slot -> table load -> multiply -> refill) proceed in parallel.
   auto get = [tabp, cump](uint32_t& xs, const uint8_t*& p, uint8_t* o) {
     const uint32_t slot = xs & (kM - 1);

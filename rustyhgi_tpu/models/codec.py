@@ -213,7 +213,11 @@ class HGICodec:
         width/height, and scale_level; the quantizer is encode-side only.
         """
         if archive.metadata.scale_level != self.levels:
-            decoder = HGICodec(archive.metadata.scale_level, self.quantization)
+            decoder = HGICodec(
+                archive.metadata.scale_level,
+                self.quantization,
+                predictor=self.predictor,
+            )
             return decoder.decode(archive)
         return np.asarray(self.decode_plane(archive.grid))
 

@@ -89,6 +89,14 @@ def _u8ptr(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
 
 
+def _effective_levels(levels: int, h: int, w: int) -> int:
+    # Depths beyond ceil(log2(max dim)) touch no pixels (see
+    # rustyhgi_tpu.ops.pyramid.effective_levels); clamping also keeps the
+    # C++ shifts (1u << levels) well-defined for any archive scale_level.
+    cap = (max(h, w) - 1).bit_length()
+    return max(0, min(levels, cap))
+
+
 def native_encode(
     image: np.ndarray,
     levels: int,
@@ -100,6 +108,7 @@ def native_encode(
         raise RuntimeError("native library unavailable (make -C native failed)")
     work = np.array(image, dtype=np.uint8, copy=True, order="C")
     h, w = work.shape
+    levels = _effective_levels(levels, h, w)
     grid = np.zeros((h, w), dtype=np.uint8)
     err = linear_error(QuantizationLevel(quantization))
     lib.hgi_encode_plane(_u8ptr(work), _u8ptr(grid), w, h, levels, err)
@@ -113,6 +122,7 @@ def native_decode(grid: np.ndarray, levels: int) -> np.ndarray:
         raise RuntimeError("native library unavailable (make -C native failed)")
     grid = np.ascontiguousarray(grid, dtype=np.uint8)
     h, w = grid.shape
+    levels = _effective_levels(levels, h, w)
     image = np.zeros((h, w), dtype=np.uint8)
     lib.hgi_decode_plane(_u8ptr(grid), _u8ptr(image), w, h, levels)
     return image

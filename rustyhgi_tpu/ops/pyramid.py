@@ -83,13 +83,6 @@ def cell_prediction(coarse: jnp.ndarray) -> jnp.ndarray:
 # -- dyadic data movement (reshape/bitcast only — no strided slices) -------
 
 
-def _down2(x: jnp.ndarray) -> jnp.ndarray:
-    """Keep even rows and even columns of [..., h, w] (h, w even)."""
-    *lead, h, w = x.shape
-    x = x.reshape(*lead, h // 2, 2, w)[..., 0, :]
-    return x.reshape(*lead, h // 2, w // 2, 2)[..., 0]
-
-
 def _split4(
     x: jnp.ndarray,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -140,6 +133,20 @@ def _pad_canvas(x: jnp.ndarray, levels: int) -> jnp.ndarray:
         return x
     pad = [(0, 0)] * len(lead) + [(0, hp - h), (0, wp - w)]
     return jnp.pad(x, pad)
+
+
+def effective_levels(levels: int, h: int, w: int) -> int:
+    """Clamp the pyramid depth to the depths that actually touch pixels.
+
+    Levels whose fine spacing meets or exceeds both image dims visit no
+    pixels (their lattices contain only already-processed coarser points),
+    so ``levels`` beyond ``ceil(log2(max(h, w)))`` produce the identical
+    grid — but a literal 2**levels canvas would explode (levels=16 on a
+    256x256 plane is a 4 GB canvas).  The container still records the
+    caller's nominal scale_level; decode applies the same clamp.
+    """
+    cap = (max(h, w) - 1).bit_length()  # ceil(log2(max dim)); 0 for 1x1
+    return max(0, min(levels, cap))
 
 
 def _quad_masks(
@@ -214,6 +221,7 @@ def encode_plane(
     if predictor is None:
         predictor = cell_prediction
     h, w = image.shape[-2:]
+    levels = effective_levels(levels, h, w)  # depths beyond touch no pixels
     image = _pad_canvas(image.astype(_U8), levels)
     hp, wp = image.shape[-2:]
     if levels == 0:
@@ -266,6 +274,7 @@ def decode_plane(
     if predictor is None:
         predictor = cell_prediction
     h, w = grid.shape[-2:]
+    levels = effective_levels(levels, h, w)
     grid = _pad_canvas(grid.astype(_U8), levels)
     hp, wp = grid.shape[-2:]
     if levels == 0:
@@ -328,6 +337,7 @@ def encode_subbands(
     if predictor is None:
         predictor = cell_prediction
     h, w = image.shape[-2:]
+    levels = effective_levels(levels, h, w)
     image = _pad_canvas(image.astype(_U8), levels)
     hp, wp = image.shape[-2:]
     if levels == 0:
@@ -379,6 +389,7 @@ def decode_subbands(
     if predictor is None:
         predictor = cell_prediction
     h, w = shape
+    levels = effective_levels(levels, h, w)
     if levels == 0:
         return anchors[..., :h, :w]
     step = 1 << levels
@@ -414,6 +425,7 @@ def assemble_grid(anchors: jnp.ndarray, subbands, shape: Tuple[int, int]):
 
 def split_grid(grid: jnp.ndarray, levels: int):
     """Inverse of :func:`assemble_grid`: row-major plane -> subband layout."""
+    levels = effective_levels(levels, *grid.shape[-2:])
     grid = _pad_canvas(grid.astype(_U8), levels)
     anchors, quads = _quad_pyramid(grid, levels)
     return anchors, [quads[levels - 1 - l] for l in range(levels)]

@@ -13,9 +13,12 @@ the designed-from-scratch N-host driver for gigapixel tiled streams
   ``[h*B/N, (h+1)*B/N)`` in the deterministic row-major tile order of
   ``tile_plane``, so the gathered archive order is reproducible for any
   host count.
-* The shared entropy table is built from the psum'd global histogram, so
-  every host compresses with identical coder state ("broadcast coder
-  tables").
+* Shared coder tables: ``parallel.sharded.sharded_histogram`` psums the
+  residual histogram over the whole mesh and
+  ``ops.entropy.rans_encode(..., freqs=normalized_freqs(hist))`` encodes
+  every block with the identical broadcast table (see
+  tests/test_native.py::test_shared_freq_table); the default per-block
+  tables are self-contained archives.
 """
 
 from __future__ import annotations
@@ -77,7 +80,7 @@ def encode_tiled_multihost(
     n_dev = mesh.devices.size
     padded, n_pad = pad_batch(tiles, n_dev)
 
-    grids, _, hist = encode_batch_sharded(padded, levels, quantization, mesh=mesh)
+    grids, _, _ = encode_batch_sharded(padded, levels, quantization, mesh=mesh)
     # Deterministic ordered gather: pull the batch in global index order.
     # Multi-process global arrays span non-addressable devices, so the
     # gather is an explicit DCN allgather (shards concatenate in sharding

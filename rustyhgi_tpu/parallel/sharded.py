@@ -42,53 +42,84 @@ def _batch_pspec() -> P:
     return P((DATA_AXIS, TILE_AXIS))
 
 
+def _mesh_key(mesh: Mesh):
+    return (
+        mesh.axis_names,
+        tuple(mesh.shape.values()),
+        tuple(d.id for d in mesh.devices.flat),
+    )
+
+
+# Compiled shard_map executables, keyed by (kind, mesh, shape, params).
+# Rebuilding jit(shard_map(...)) per call would re-trace and re-compile
+# every time (~seconds); cached calls are pure dispatch.
+_SHARD_CACHE = {}
+
+
 def encode_batch_sharded(
     images,
     levels: int,
     quantization: QuantizationLevel,
     mesh: Optional[Mesh] = None,
-    with_histogram: bool = True,
+    with_histogram: bool = False,
 ):
     """Encode a [B, H, W] uint8 batch sharded over the mesh.
 
     Returns ``(grids, recons, histogram)`` where grids/recons are sharded
     [B, H, W] uint8 arrays (batch order preserved — the gather back to host
     is deterministic because the sharding itself is an ordered partition of
-    the batch axis) and ``histogram`` is the replicated int32[256] count of
-    residual bytes across the *global* batch (psum over both mesh axes),
-    used to build shared entropy-coder tables.
+    the batch axis).  With ``with_histogram=True``, ``histogram`` is the
+    replicated int32[256] count of residual bytes across the *global*
+    batch (psum over both mesh axes), the input for shared entropy-coder
+    tables (``rans_encode(..., freqs=normalized_freqs(hist))``); it costs
+    a device scatter-add per call, so it is opt-in.  int32 counts bound
+    one call at < 2**31 residual bytes (~2 gigapixels); chunk larger
+    batches across calls.
 
     B must be divisible by the mesh size; callers pad with zero planes and
     drop them after (see :func:`tile_plane` which returns the pad count).
     """
     if mesh is None:
         mesh = make_mesh()
-    quant = quantize_fn(quantization)
+    if with_histogram and int(np.prod(images.shape)) >= 1 << 31:
+        # Checked before any device transfer/materialization.
+        raise ValueError(
+            "histogram counts are int32: chunk batches below 2**31 pixels"
+        )
+    images = jnp.asarray(images, jnp.uint8)
     spec = _batch_pspec()
-
-    def local_encode(imgs):
-        grids, recons = jax.vmap(
-            lambda im: pyramid.encode_plane(im, levels, quant)
-        )(imgs)
-        if with_histogram:
-            # Device-side residual histogram; summed over the whole mesh so
-            # every device (and host) sees the same coder table input.
-            hist = jnp.zeros((256,), jnp.int32).at[grids.reshape(-1)].add(1)
-            hist = jax.lax.psum(hist, (DATA_AXIS, TILE_AXIS))
-        else:
-            hist = jnp.zeros((256,), jnp.int32)
-        return grids, recons, hist
-
-    shard = jax.shard_map(
-        local_encode,
-        mesh=mesh,
-        in_specs=(spec,),
-        out_specs=(spec, spec, P()),
+    key = (
+        "enc", _mesh_key(mesh), images.shape,
+        levels, int(quantization), with_histogram,
     )
-    images = jax.device_put(
-        jnp.asarray(images, jnp.uint8), NamedSharding(mesh, spec)
-    )
-    return jax.jit(shard)(images)
+    fn = _SHARD_CACHE.get(key)
+    if fn is None:
+        quant = quantize_fn(quantization)
+
+        def local_encode(imgs):
+            grids, recons = jax.vmap(
+                lambda im: pyramid.encode_plane(im, levels, quant)
+            )(imgs)
+            if with_histogram:
+                # Device-side residual histogram; summed over the whole
+                # mesh so every device sees the same coder table input.
+                hist = jnp.zeros((256,), jnp.int32).at[grids.reshape(-1)].add(1)
+                hist = jax.lax.psum(hist, (DATA_AXIS, TILE_AXIS))
+            else:
+                hist = jnp.zeros((256,), jnp.int32)
+            return grids, recons, hist
+
+        fn = jax.jit(
+            jax.shard_map(
+                local_encode,
+                mesh=mesh,
+                in_specs=(spec,),
+                out_specs=(spec, spec, P()),
+            )
+        )
+        _SHARD_CACHE[key] = fn
+    images = jax.device_put(images, NamedSharding(mesh, spec))
+    return fn(images)
 
 
 def decode_batch_sharded(
@@ -99,34 +130,45 @@ def decode_batch_sharded(
     """Decode a [B, H, W] uint8 residual-grid batch sharded over the mesh."""
     if mesh is None:
         mesh = make_mesh()
+    grids = jnp.asarray(grids, jnp.uint8)
     spec = _batch_pspec()
+    key = ("dec", _mesh_key(mesh), grids.shape, levels)
+    fn = _SHARD_CACHE.get(key)
+    if fn is None:
 
-    def local_decode(gs):
-        return jax.vmap(lambda g: pyramid.decode_plane(g, levels))(gs)
+        def local_decode(gs):
+            return jax.vmap(lambda g: pyramid.decode_plane(g, levels))(gs)
 
-    shard = jax.shard_map(
-        local_decode, mesh=mesh, in_specs=(spec,), out_specs=spec
-    )
-    grids = jax.device_put(
-        jnp.asarray(grids, jnp.uint8), NamedSharding(mesh, spec)
-    )
-    return jax.jit(shard)(grids)
+        fn = jax.jit(
+            jax.shard_map(
+                local_decode, mesh=mesh, in_specs=(spec,), out_specs=spec
+            )
+        )
+        _SHARD_CACHE[key] = fn
+    grids = jax.device_put(grids, NamedSharding(mesh, spec))
+    return fn(grids)
 
 
 def sharded_histogram(grids, mesh: Optional[Mesh] = None) -> jax.Array:
     """Replicated int32[256] histogram of a sharded uint8 batch."""
     if mesh is None:
         mesh = make_mesh()
+    grids = jnp.asarray(grids, jnp.uint8)
+    key = ("hist", _mesh_key(mesh), grids.shape)
+    fn = _SHARD_CACHE.get(key)
+    if fn is None:
 
-    def local(gs):
-        h = jnp.zeros((256,), jnp.int32).at[gs.reshape(-1)].add(1)
-        return jax.lax.psum(h, (DATA_AXIS, TILE_AXIS))
+        def local(gs):
+            h = jnp.zeros((256,), jnp.int32).at[gs.reshape(-1)].add(1)
+            return jax.lax.psum(h, (DATA_AXIS, TILE_AXIS))
 
-    return jax.jit(
-        jax.shard_map(
-            local, mesh=mesh, in_specs=(_batch_pspec(),), out_specs=P()
+        fn = jax.jit(
+            jax.shard_map(
+                local, mesh=mesh, in_specs=(_batch_pspec(),), out_specs=P()
+            )
         )
-    )(grids)
+        _SHARD_CACHE[key] = fn
+    return fn(grids)
 
 
 # --------------------------------------------------------------------------

@@ -193,13 +193,25 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def _effective_levels(levels: int, h: int, w: int) -> int:
+    # Depths beyond ceil(log2(max dim)) touch no pixels; clamping keeps
+    # the canvas O(H*W) for any nominal scale_level (a levels=16 canvas
+    # for a 256x256 plane would be 4 GB).  Must match
+    # rustyhgi_tpu.ops.pyramid.effective_levels.
+    cap = (max(h, w) - 1).bit_length()
+    return max(0, min(levels, cap))
+
+
 def subband_shapes(height: int, width: int, levels: int):
     """Canvas-padded shapes of (anchors, per-level quads).
 
     Returns ``(anchor_shape, [quad_shape per level])`` — quad shapes are
     the packed coarse-lattice shapes, coarsest level first, derived from
     the 2**levels canvas so the byte stream needs no shape framing.
+    ``levels`` is clamped to the depths that touch pixels (the encoder
+    applies the identical clamp).
     """
+    levels = _effective_levels(levels, height, width)
     step = 1 << levels
     hp, wp = _cdiv(height, step) * step, _cdiv(width, step) * step
     anchor = (hp // step, wp // step)
@@ -218,6 +230,7 @@ def split_grid_np(grid: np.ndarray, levels: int):
     Host-side strided slicing is cheap (this is not the device path).
     """
     h, w = grid.shape
+    levels = _effective_levels(levels, h, w)
     step = 1 << levels
     hp, wp = _cdiv(h, step) * step, _cdiv(w, step) * step
     canvas = np.zeros((hp, wp), dtype=np.uint8)
@@ -237,6 +250,7 @@ def assemble_grid_np(
     anchors: np.ndarray, subbands, height: int, width: int, levels: int
 ) -> np.ndarray:
     """Inverse of :func:`split_grid_np` (crops the canvas padding)."""
+    levels = _effective_levels(levels, height, width)
     step = 1 << levels
     hp, wp = _cdiv(height, step) * step, _cdiv(width, step) * step
     canvas = np.zeros((hp, wp), dtype=np.uint8)
@@ -347,7 +361,7 @@ def read_thgi_payload(data: bytes):
     return meta, layout, raw
 
 
-def read_thgi_subbands(data: bytes):
+def read_thgi_subbands(data: bytes, _parsed=None):
     """Parse a subband-layout .thgi to ``(metadata, anchors, subbands)``.
 
     Raises ValueError for row-major archives (callers fall back to
@@ -355,9 +369,12 @@ def read_thgi_subbands(data: bytes):
     ``HGICodec.decode_subbands`` directly — no grid assembly, no device
     re-split.
     """
-    meta, layout, raw = read_thgi_payload(data)
-    if layout != _LAYOUT_SUBBAND:
-        raise ValueError("archive is not in subband layout")
+    if _parsed is not None:
+        meta, raw = _parsed
+    else:
+        meta, layout, raw = read_thgi_payload(data)
+        if layout != _LAYOUT_SUBBAND:
+            raise ValueError("archive is not in subband layout")
     a_shape, q_shapes = subband_shapes(meta.height, meta.width, meta.scale_level)
     pos = 0
 
@@ -374,52 +391,18 @@ def read_thgi_subbands(data: bytes):
 
 
 def read_thgi(data: bytes) -> Archive:
-    (magic,) = struct.unpack_from("<I", data, 0)
-    if magic != THGI_MAGIC:
-        raise ValueError("incorrect magic number")
-    off = 4
-    meta = Metadata.unpack(data[off : off + _METADATA.size])
-    off += _METADATA.size
-    layout, tag, raw_size = struct.unpack_from("<BBQ", data, off)
-    off += struct.calcsize("<BBQ")
-    body = data[off:]
-    if tag == _CODEC_DEFLATE:
-        raw = _inflate_raw(body)
-    elif tag == _CODEC_RANS:
-        from ..ops.entropy import rans_decode
-
-        raw = rans_decode(body, raw_size)
-    elif tag == _CODEC_BITPACK:
-        from ..ops.pallas_kernels import unpack_bytes
-
-        raw = unpack_bytes(body).tobytes()
-    else:
-        raise ValueError(f"unknown entropy codec tag {tag}")
-    if len(raw) < raw_size:
-        raise ValueError("truncated payload")
+    """Parse a .thgi container into an :class:`Archive` (any layout)."""
+    meta, layout, raw = read_thgi_payload(data)
 
     if layout == _LAYOUT_ROWMAJOR:
-        if raw_size != meta.width * meta.height:
+        if len(raw) < meta.width * meta.height:
             raise ValueError("payload size does not match dimensions")
-        grid = np.frombuffer(raw, dtype=np.uint8, count=raw_size).reshape(
-            meta.height, meta.width
-        )
+        grid = np.frombuffer(
+            raw, dtype=np.uint8, count=meta.width * meta.height
+        ).reshape(meta.height, meta.width)
         return Archive(meta, grid.copy())
     if layout == _LAYOUT_SUBBAND:
-        a_shape, q_shapes = subband_shapes(
-            meta.height, meta.width, meta.scale_level
-        )
-        pos = 0
-
-        def take(shape):
-            nonlocal pos
-            n = shape[0] * shape[1]
-            arr = np.frombuffer(raw, np.uint8, count=n, offset=pos).reshape(shape)
-            pos += n
-            return arr
-
-        anchors = take(a_shape)
-        subbands = [tuple(take(s) for _ in range(3)) for s in q_shapes]
+        _, anchors, subbands = read_thgi_subbands(data, _parsed=(meta, raw))
         grid = assemble_grid_np(
             anchors, subbands, meta.height, meta.width, meta.scale_level
         )

@@ -132,3 +132,27 @@ def test_left_top_predictor_matches_oracle(rng, quant):
 def test_unknown_predictor_rejected():
     with pytest.raises(ValueError, match="predictor"):
         HGICodec(predictor="bilinear")
+
+
+def test_extreme_levels_small_image(rng):
+    # Nominal depths far beyond log2(dim) must stay O(H*W) (clamped to the
+    # depths that touch pixels) and match the unclamped scalar oracle.
+    image = rng.integers(0, 256, size=(12, 9), dtype=np.uint8)
+    for levels in (10, 16):
+        codec = HGICodec(levels=levels, quantization="medium")
+        grid, recon = codec.encode_plane(image)
+        want = oracle_encode(image, levels, QuantizationLevel.MEDIUM)
+        assert np.array_equal(np.asarray(grid), want), levels
+        assert np.array_equal(
+            np.asarray(codec.decode_plane(grid)), oracle_decode(want, levels)
+        )
+
+
+def test_decode_fallback_preserves_predictor(rng):
+    image = rng.integers(0, 256, size=(32, 32), dtype=np.uint8)
+    enc = HGICodec(3, "lossless", predictor="left_top")
+    archive = enc.encode(image)
+    # decoder constructed with a different nominal depth must not silently
+    # fall back to the crossed predictor
+    dec = HGICodec(5, "lossless", predictor="left_top")
+    assert np.array_equal(dec.decode(archive), image)

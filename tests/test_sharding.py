@@ -45,7 +45,7 @@ def golden(batch):
 def test_sharded_encode_mesh_shape_invariance(batch, golden, shape):
     mesh = make_mesh(shape)
     grids, recons, hist = encode_batch_sharded(
-        batch, 3, QuantizationLevel.MEDIUM, mesh=mesh
+        batch, 3, QuantizationLevel.MEDIUM, mesh=mesh, with_histogram=True
     )
     assert np.array_equal(np.asarray(grids), golden[0])
     assert np.array_equal(np.asarray(recons), golden[1])
@@ -100,3 +100,41 @@ def test_multihost_driver_single_process():
     codec = HGICodec(levels=3)
     decoded = np.asarray(codec.decode_plane(tiles))
     assert np.array_equal(untile_plane(decoded, (64, 64)), plane)
+
+
+def test_sharded_calls_are_cached(batch):
+    from rustyhgi_tpu.parallel import sharded
+
+    mesh = make_mesh((8, 1))
+    before = len(sharded._SHARD_CACHE)
+    for _ in range(3):
+        encode_batch_sharded(batch, 3, QuantizationLevel.MEDIUM, mesh=mesh)
+    added = len(sharded._SHARD_CACHE) - before
+    assert added <= 1  # repeated identical calls reuse one compiled fn
+
+
+def test_histogram_overflow_guard():
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    class FakeBig:
+        pass
+
+    # 2**31-pixel batches must be rejected up front, not silently overflow
+    big = np.zeros((1, 1, 1), np.uint8)  # real call with tiny array first
+    encode_batch_sharded(
+        np.zeros((8, 8, 8), np.uint8), 1, QuantizationLevel.LOSSLESS,
+        mesh=make_mesh((8, 1)), with_histogram=True,
+    )
+    with _pytest.raises(ValueError, match="2\\*\\*31"):
+        from rustyhgi_tpu.parallel.sharded import encode_batch_sharded as e
+
+        # construct a fake huge-shaped check without allocating: use jnp
+        # zeros of a big virtual shape is too costly -- call the validation
+        # path via a broadcasted array (numpy stride tricks keep it lazy)
+        huge = np.lib.stride_tricks.as_strided(
+            np.zeros(1, np.uint8), shape=(1 << 16, 256, 256),
+            strides=(0, 0, 0),
+        )
+        e(huge, 1, QuantizationLevel.LOSSLESS, mesh=make_mesh((8, 1)),
+          with_histogram=True)
