@@ -184,6 +184,7 @@ def read_hgi(data: bytes) -> Archive:
 _CODEC_DEFLATE = 0
 _CODEC_RANS = 1
 _CODEC_BITPACK = 2  # device-side Pallas bit-plane pack (fast mode)
+_CODEC_RANS_MT = 3  # two independent rANS chunks, coded in parallel
 
 _LAYOUT_ROWMAJOR = 0
 _LAYOUT_SUBBAND = 1
@@ -273,6 +274,41 @@ def _subband_payload(archive: Archive) -> bytes:
     return b"".join(parts)
 
 
+_MT_THRESHOLD = 1 << 20  # chunked-parallel rANS pays off above ~1 MB
+
+
+def _rans_mt_encode(raw: bytes) -> bytes:
+    """Split into two halves and rANS-code them on two threads.
+
+    Each half is a standard self-contained rANS stream (the native coder
+    releases the GIL, so two ctypes calls genuinely overlap on two
+    cores).  Body: u64 LE first-chunk compressed length, then the two
+    streams.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..ops.entropy import rans_encode
+
+    mid = len(raw) // 2
+    view = memoryview(raw)  # zero-copy halves; the coder releases the GIL
+    with ThreadPoolExecutor(2) as ex:
+        a, b = ex.map(rans_encode, (view[:mid], view[mid:]))
+    return struct.pack("<Q", len(a)) + a + b
+
+
+def _rans_mt_decode(body: bytes, raw_size: int) -> bytes:
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..ops.entropy import rans_decode
+
+    (len_a,) = struct.unpack_from("<Q", body, 0)
+    mid = raw_size // 2
+    with ThreadPoolExecutor(2) as ex:
+        fa = ex.submit(rans_decode, body[8 : 8 + len_a], mid)
+        fb = ex.submit(rans_decode, body[8 + len_a :], raw_size - mid)
+        return fa.result() + fb.result()
+
+
 def _entropy_candidates(raw: bytes, fast: bool = False):
     if fast:
         # Device-side Pallas bit-plane pack: end-to-end encode cost is
@@ -287,7 +323,12 @@ def _entropy_candidates(raw: bytes, fast: bool = False):
     try:
         from ..ops.entropy import rans_encode
 
-        yield _CODEC_RANS, rans_encode(raw)
+        if len(raw) >= _MT_THRESHOLD:
+            # Large planes: two-chunk parallel coder (both halves walk
+            # both host cores); ~520 B table overhead vs single-stream.
+            yield _CODEC_RANS_MT, _rans_mt_encode(raw)
+        else:
+            yield _CODEC_RANS, rans_encode(raw)
     except Exception:
         pass  # native entropy backend unavailable; DEFLATE always works
 
@@ -354,6 +395,8 @@ def read_thgi_payload(data: bytes):
         from ..ops.pallas_kernels import unpack_bytes
 
         raw = unpack_bytes(body).tobytes()
+    elif tag == _CODEC_RANS_MT:
+        raw = _rans_mt_decode(body, raw_size)
     else:
         raise ValueError(f"unknown entropy codec tag {tag}")
     if len(raw) < raw_size:

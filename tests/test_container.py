@@ -105,3 +105,26 @@ def test_truncated_metadata_rejected():
 
     with pytest.raises(ValueError):
         read_hgi(struct.pack("<I", HGI_MAGIC) + b"\x00" * 4)
+
+
+def test_rans_mt_chunked_roundtrip():
+    import numpy as np
+
+    from rustyhgi_tpu.utils.container import (
+        _CODEC_RANS_MT,
+        _rans_mt_decode,
+        _rans_mt_encode,
+        write_thgi,
+    )
+
+    rng = np.random.default_rng(9)
+    raw = (rng.integers(-6, 7, 3 * 1024 * 1024) % 256).astype(np.uint8).tobytes()
+    body = _rans_mt_encode(raw)
+    assert _rans_mt_decode(body, len(raw)) == raw
+
+    # a large archive exercises the MT codec through the container path
+    grid = np.frombuffer(raw[: 2048 * 1024], np.uint8).reshape(1024, 2048)
+    meta = Metadata(QuantizationLevel.MEDIUM, Interpolation.CROSSED, 2048, 1024, 4)
+    blob = write_thgi(Archive(meta, grid))
+    back = read_archive(blob)
+    assert np.array_equal(back.grid, grid)

@@ -39,6 +39,30 @@ _WORKER = textwrap.dedent(
 
     rng = np.random.default_rng(0)
     plane = rng.integers(0, 256, (64, 64), np.uint8)
+
+    # Broadcast coder tables: the psum'd global histogram must yield the
+    # identical rANS table (and identical compressed bytes for the same
+    # block) on EVERY process — the cross-host determinism the multi-host
+    # coder relies on.
+    from rustyhgi_tpu.parallel.mesh import make_mesh
+    from rustyhgi_tpu.parallel.sharded import (
+        encode_batch_sharded, pad_batch, tile_plane,
+    )
+    from rustyhgi_tpu.ops.entropy import normalized_freqs, rans_encode
+
+    tiles, _ = tile_plane(plane, (16, 16))
+    mesh = make_mesh()
+    padded, _ = pad_batch(tiles, mesh.devices.size)
+    _, _, hist = encode_batch_sharded(
+        padded, 3, QuantizationLevel.LOSSLESS, mesh=mesh, with_histogram=True
+    )
+    table = normalized_freqs(np.asarray(hist))
+    shared_blob = rans_encode(tiles[0].tobytes(), table)
+    digest = __import__("hashlib").sha256(
+        table.tobytes() + shared_blob
+    ).hexdigest()
+    print(f"TABLE_DIGEST {digest}", flush=True)
+
     blocks = encode_tiled_multihost(
         plane, (16, 16), 3, QuantizationLevel.LOSSLESS, fmt="hgi"
     )
@@ -98,3 +122,12 @@ def test_two_process_tiled_encode(tmp_path):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
     assert "MULTIHOST_OK" in outs[0]
     assert "WORKER_OK" in outs[1]
+    # Both processes derived the identical shared coder table and produced
+    # identical compressed bytes from it.
+    digests = [
+        line.split()[1]
+        for out in outs
+        for line in out.splitlines()
+        if line.startswith("TABLE_DIGEST")
+    ]
+    assert len(digests) == 2 and digests[0] == digests[1]
