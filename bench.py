@@ -209,12 +209,14 @@ def main() -> int:
                 "thgi": len(write_thgi(archive)),
             }
         from rustyhgi_tpu.ops.entropy import rans_encode
+        from rustyhgi_tpu.utils.container import _rans_mt_encode
 
-        grid_big = np.asarray(
-            HGICodec(4, "medium").encode_plane(batch)[0]
-        ).tobytes()
+        codec_m = HGICodec(4, "medium")
+        grid_big = np.asarray(codec_m.encode_plane(batch)[0]).tobytes()
         t = median_time(lambda: rans_encode(grid_big), iters=3)
         entropy_speed["rans_MBps"] = len(grid_big) / t / 1e6
+        t = median_time(lambda: _rans_mt_encode(grid_big), iters=3)
+        entropy_speed["rans_mt_MBps"] = len(grid_big) / t / 1e6
         import zlib
 
         t = median_time(
@@ -222,8 +224,22 @@ def main() -> int:
             iters=1,
         )
         entropy_speed["deflate9_MBps"] = len(grid_big) / t / 1e6
-        log(f"entropy: rANS {entropy_speed['rans_MBps']:.0f} MB/s, "
+        log(f"entropy: rANS {entropy_speed['rans_MBps']:.0f} MB/s "
+            f"(mt {entropy_speed['rans_mt_MBps']:.0f}), "
             f"DEFLATE-9 {entropy_speed['deflate9_MBps']:.0f} MB/s")
+
+        # e2e native pipeline: device encode + threaded rANS + framing for
+        # one 1080p plane (the .thgi production path; the reference's
+        # analogous e2e is DEFLATE-bound at ~20 MPix/s).
+        def e2e_thgi():
+            a = codec_m.encode(image)
+            return write_thgi(a, layouts=("rowmajor",))
+
+        e2e_thgi()
+        t = median_time(e2e_thgi, iters=3)
+        entropy_speed["e2e_thgi_mpix_s"] = W * H / t / 1e6
+        log(f"e2e thgi (device+entropy+container): "
+            f"{entropy_speed['e2e_thgi_mpix_s']:.0f} MPix/s")
     except Exception as e:
         log(f"entropy/size check failed: {e}")
 
