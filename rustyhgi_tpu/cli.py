@@ -99,7 +99,7 @@ def cmd_encode(args) -> int:
     image = load_luma(args.input)
     codec = HGICodec(args.level, quant)
     grid = _make_grid(image, args.level, quant, args.backend)
-    archive = Archive(codec._metadata(*image.shape), grid)
+    archive = Archive(codec.metadata_for(*image.shape), grid)
     with open(args.output, "wb") as f:
         f.write(_serialize(archive, args))
     return 0
@@ -142,7 +142,7 @@ def cmd_test(args) -> int:
     codec = HGICodec(args.level, quant)
     grid = _make_grid(image, args.level, quant, args.backend)
     decoded = _decode_grid(grid, args.level, args.backend)
-    archive = Archive(codec._metadata(*image.shape), grid)
+    archive = Archive(codec.metadata_for(*image.shape), grid)
     blob = write_archive(archive, args.format)
 
     diff = image.astype(np.int64) - decoded.astype(np.int64)
@@ -256,7 +256,7 @@ def cmd_encode_tiled(args) -> int:
             f.write(struct.pack("<IIIII", 0x7161A555, args.tile, w, h, n_tiles))
         for i in range(remaining.shape[0]):
             archive = Archive(
-                codec._metadata(args.tile, args.tile), grids_host[i]
+                codec.metadata_for(args.tile, args.tile), grids_host[i]
             )
             b = write_archive(archive, args.format)
             f.write(struct.pack("<Q", len(b)))

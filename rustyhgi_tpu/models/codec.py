@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import pyramid
+from ..ops.predictors import predictor_fn, predictor_tag
 from ..ops.quantizers import QuantizationLevel, linear_error, quantize_fn
 from ..utils.container import Archive, Interpolation, Metadata
 
@@ -68,8 +69,6 @@ class HGICodec:
             quantization = QuantizationLevel.parse(quantization)
         if not 0 <= levels <= 16:
             raise ValueError(f"levels must be in [0, 16], got {levels}")
-        from ..ops.predictors import predictor_fn
-
         self.levels = int(levels)
         self.quantization = quantization
         self.predictor = predictor
@@ -188,9 +187,7 @@ class HGICodec:
 
     # -- archive path (device compute + host entropy/container) -------------
 
-    def _metadata(self, height: int, width: int) -> Metadata:
-        from ..ops.predictors import predictor_tag
-
+    def metadata_for(self, height: int, width: int) -> Metadata:
         return Metadata(
             quantization_level=self.quantization,
             interpolation=predictor_tag(self.predictor),
@@ -204,7 +201,7 @@ class HGICodec:
         image = np.asarray(image, dtype=np.uint8)
         grid, _ = self.encode_plane(image)
         h, w = image.shape
-        return Archive(self._metadata(h, w), np.asarray(grid))
+        return Archive(self.metadata_for(h, w), np.asarray(grid))
 
     def decode(self, archive: Archive) -> np.ndarray:
         """Decode an :class:`Archive` back to a uint8 [H, W] plane.
@@ -231,7 +228,7 @@ class HGICodec:
 
         image = np.asarray(image, dtype=np.uint8)
         grid, recon = self.encode_plane(image)
-        archive = Archive(self._metadata(*image.shape), np.asarray(grid))
+        archive = Archive(self.metadata_for(*image.shape), np.asarray(grid))
         decoded = np.asarray(recon)  # bit-identical to decode by construction
         blob = write_archive(archive, fmt)
 

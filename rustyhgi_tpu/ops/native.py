@@ -21,6 +21,7 @@ from typing import Optional
 
 import numpy as np
 
+from ..dyadic import effective_levels as _effective_levels
 from .quantizers import QuantizationLevel, linear_error
 
 __all__ = [
@@ -87,14 +88,6 @@ def available() -> bool:
 
 def _u8ptr(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
-
-
-def _effective_levels(levels: int, h: int, w: int) -> int:
-    # Depths beyond ceil(log2(max dim)) touch no pixels (see
-    # rustyhgi_tpu.ops.pyramid.effective_levels); clamping also keeps the
-    # C++ shifts (1u << levels) well-defined for any archive scale_level.
-    cap = (max(h, w) - 1).bit_length()
-    return max(0, min(levels, cap))
 
 
 def native_encode(

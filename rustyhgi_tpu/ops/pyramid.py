@@ -52,6 +52,9 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..dyadic import cdiv as _cdiv, effective_levels
+from .predictors import cell_prediction_crossed
+
 __all__ = [
     "cell_prediction",
     "encode_plane",
@@ -64,10 +67,6 @@ _U16 = jnp.uint16
 _I32 = jnp.int32
 
 
-def _cdiv(a: int, b: int) -> int:
-    return -(-a // b)
-
-
 def cell_prediction(coarse: jnp.ndarray) -> jnp.ndarray:
     """Crossed prediction for every cell of a packed coarse lattice.
 
@@ -75,8 +74,6 @@ def cell_prediction(coarse: jnp.ndarray) -> jnp.ndarray:
     exact integer rounding-tree semantics (interpolator.rs:41-55) and the
     OOB-reads-0 rule (interpolator.rs:75-82).
     """
-    from .predictors import cell_prediction_crossed
-
     return cell_prediction_crossed(coarse)
 
 
@@ -135,20 +132,6 @@ def _pad_canvas(x: jnp.ndarray, levels: int) -> jnp.ndarray:
     return jnp.pad(x, pad)
 
 
-def effective_levels(levels: int, h: int, w: int) -> int:
-    """Clamp the pyramid depth to the depths that actually touch pixels.
-
-    Levels whose fine spacing meets or exceeds both image dims visit no
-    pixels (their lattices contain only already-processed coarser points),
-    so ``levels`` beyond ``ceil(log2(max(h, w)))`` produce the identical
-    grid — but a literal 2**levels canvas would explode (levels=16 on a
-    256x256 plane is a 4 GB canvas).  The container still records the
-    caller's nominal scale_level; decode applies the same clamp.
-    """
-    cap = (max(h, w) - 1).bit_length()  # ceil(log2(max dim)); 0 for 1x1
-    return max(0, min(levels, cap))
-
-
 def _quad_masks(
     hc: int,
     wc: int,
@@ -169,6 +152,8 @@ def _quad_masks(
     condition; when neither axis pads, returns (None, None, None) and
     callers skip masking entirely.
     """
+    if h == hp and w == wp:
+        return None, None, None
     true = jnp.full((hc, wc), True)
     if h == hp:
         row_e = row_o = true
@@ -182,8 +167,6 @@ def _quad_masks(
         ix = lax.broadcasted_iota(_I32, (hc, wc), 1)
         col_e = 2 * ix * s1 < w
         col_o = (2 * ix + 1) * s1 < w
-    if h == hp and w == wp:
-        return None, None, None
     return row_e & col_o, row_o & col_e, row_o & col_o
 
 
@@ -217,52 +200,14 @@ def encode_plane(
     and the reconstructed image, both uint8 [H, W].  Returning the
     reconstruction is free (it is the loop carry) and gives callers
     encoder-side distortion metrics without a decode pass.
+
+    This is :func:`encode_subbands` plus the row-major grid assembly that
+    .hgi interop needs; encode-only pipelines use the subband form
+    directly.
     """
-    if predictor is None:
-        predictor = cell_prediction
     h, w = image.shape[-2:]
-    levels = effective_levels(levels, h, w)  # depths beyond touch no pixels
-    image = _pad_canvas(image.astype(_U8), levels)
-    hp, wp = image.shape[-2:]
-    if levels == 0:
-        return image[..., :h, :w], image[..., :h, :w]
-
-    # Identity quantizer (error 0): q == diff, so the overflow fixup can
-    # never trigger and recon == true exactly — skip both statically.
-    lossless = getattr(quantize, "error", None) == 0
-
-    coarse, quads = _quad_pyramid(image, levels)
-    grid = coarse  # anchor lattice stored raw (encoder.rs:26-37)
-    for level in range(levels):
-        s1 = 1 << (levels - level - 1)
-        pred = predictor(coarse.astype(_I32))
-        true_q = quads[levels - level - 1]
-        masks = _quad_masks(pred.shape[-2], pred.shape[-1], s1, h, w, hp, wp)
-
-        recon_q: List[jnp.ndarray] = []
-        grid_q: List[jnp.ndarray] = []
-        for t, mask in zip(true_q, masks):
-            diff = (t.astype(_I32) - pred) & 255
-            if lossless:
-                # recon = pred + (t - pred) mod 256 = t; padded canvas is
-                # zero already, so no mask is needed either.
-                recon_q.append(t)
-                grid_q.append(diff.astype(_U8))
-                continue
-            q = quantize(diff)
-            # Overflow fixup (encoder.rs:56-60): if quantization changes
-            # whether pred + residual carries past 255, store the raw diff.
-            fix = ((pred + q) > 255) != ((pred + diff) > 255)
-            q = jnp.where(fix, diff, q)
-            r = (pred + q) & 255
-            if mask is not None:
-                r = jnp.where(mask, r, 0)
-            recon_q.append(r.astype(_U8))
-            grid_q.append(q.astype(_U8))
-
-        coarse = _interleave4(coarse, *recon_q)
-        grid = _interleave4(grid, *grid_q)
-    return grid[..., :h, :w], coarse[..., :h, :w]
+    anchors, subbands, recon = encode_subbands(image, levels, quantize, predictor)
+    return assemble_grid(anchors, subbands, (h, w)), recon
 
 
 def decode_plane(
@@ -270,31 +215,14 @@ def decode_plane(
     levels: int,
     predictor: Callable[[jnp.ndarray], jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Decode a uint8 [H, W] residual grid back to the image (decoder.rs:18-46)."""
-    if predictor is None:
-        predictor = cell_prediction
-    h, w = grid.shape[-2:]
-    levels = effective_levels(levels, h, w)
-    grid = _pad_canvas(grid.astype(_U8), levels)
-    hp, wp = grid.shape[-2:]
-    if levels == 0:
-        return grid[..., :h, :w]
+    """Decode a uint8 [H, W] residual grid back to the image (decoder.rs:18-46).
 
-    coarse, quads = _quad_pyramid(grid, levels)  # anchors stored raw
-    for level in range(levels):
-        s1 = 1 << (levels - level - 1)
-        pred = predictor(coarse.astype(_I32))
-        masks = _quad_masks(pred.shape[-2], pred.shape[-1], s1, h, w, hp, wp)
-        recon_q = []
-        for g, mask in zip(quads[levels - level - 1], masks):
-            r = (pred + g.astype(_I32)) & 255
-            if mask is not None:
-                # Padded-canvas positions must read 0 at later levels (the
-                # grid's zero padding reconstructs to pred, not 0).
-                r = jnp.where(mask, r, 0)
-            recon_q.append(r.astype(_U8))
-        coarse = _interleave4(coarse, *recon_q)
-    return coarse[..., :h, :w]
+    :func:`split_grid` plus :func:`decode_subbands`; subband-layout
+    archives skip the split entirely.
+    """
+    h, w = grid.shape[-2:]
+    anchors, subbands = split_grid(grid, levels)
+    return decode_subbands(anchors, subbands, (h, w), levels, predictor)
 
 
 def reconstruct_encode(

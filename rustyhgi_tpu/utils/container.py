@@ -34,6 +34,7 @@ import zlib
 
 import numpy as np
 
+from ..dyadic import cdiv as _cdiv, effective_levels as _effective_levels
 from ..ops.quantizers import QuantizationLevel
 
 __all__ = [
@@ -188,19 +189,6 @@ _CODEC_RANS_MT = 3  # two independent rANS chunks, coded in parallel
 
 _LAYOUT_ROWMAJOR = 0
 _LAYOUT_SUBBAND = 1
-
-
-def _cdiv(a: int, b: int) -> int:
-    return -(-a // b)
-
-
-def _effective_levels(levels: int, h: int, w: int) -> int:
-    # Depths beyond ceil(log2(max dim)) touch no pixels; clamping keeps
-    # the canvas O(H*W) for any nominal scale_level (a levels=16 canvas
-    # for a 256x256 plane would be 4 GB).  Must match
-    # rustyhgi_tpu.ops.pyramid.effective_levels.
-    cap = (max(h, w) - 1).bit_length()
-    return max(0, min(levels, cap))
 
 
 def subband_shapes(height: int, width: int, levels: int):
