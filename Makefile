@@ -13,4 +13,5 @@ bench: native
 
 clean:
 	$(MAKE) -C native clean
-	rm -rf .pytest_cache rustyhgi_tpu/**/__pycache__ tests/__pycache__
+	rm -rf .pytest_cache
+	find rustyhgi_tpu tests -name __pycache__ -type d -exec rm -rf {} + 2>/dev/null || true

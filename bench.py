@@ -92,10 +92,20 @@ def device_seconds_per_call(
         np.asarray(r.ravel()[:1])  # warm (compile + first run)
         times[k] = min_time(lambda: np.asarray(f(x).ravel()[:1]))
     per = (times[k_hi] - times[k_lo]) / (k_hi - k_lo)
-    floor = floor_bytes / 900e9
+    # Plausibility floor from the attached device's HBM bandwidth (with
+    # ~10% headroom) so a contention spike cannot fabricate impossible
+    # throughput, without clamping legitimately faster hardware.
+    kind = str(jax.devices()[0]).lower()
+    if "v5 lite" in kind or "v5e" in kind:
+        bw = 9.0e11
+    elif "v6" in kind:
+        bw = 1.8e12
+    else:
+        bw = 3.0e12  # v5p and beyond
+    floor = floor_bytes / bw
     if per < floor:
         log(f"WARNING: slope {per * 1e6:.0f}us below HBM floor "
-            f"{floor * 1e6:.0f}us (tunnel contention); clamping")
+            f"{floor * 1e6:.0f}us for {kind!r} (tunnel contention); clamping")
         per = floor
     return per
 
@@ -127,16 +137,20 @@ def main() -> int:
         # Headline: the subband encode — a complete encode to the archivable
         # representation (the .thgi subband container's exact payload),
         # skipping the row-major grid assembly that exists only for .hgi
-        # byte interop.  The finest residual quad is XOR-mixed into the
-        # carry so the residual math stays live: in lossless mode recon
-        # alone equals the input and XLA would dead-code-eliminate the
-        # entire prediction/quantization pipeline.
+        # byte interop.  EVERY output (anchors + all residual quads of all
+        # levels) is reduced into the carry: in lossless mode the recon
+        # carry alone equals the input, so any output left unused lets XLA
+        # dead-code-eliminate its predictor/residual math and inflate the
+        # metric (verified twice against compiled HLO).  The sums cost ~1
+        # extra pass over ~H*W bytes — an under-reporting bias, never over.
         anchors, subbands, _ = pyramid.encode_subbands(
             x, LEVELS, quant, want_recon=False
         )
-        q = subbands[-1][0]
-        pad = ((0, 0), (0, H - q.shape[1]), (0, W - q.shape[2]))
-        return x ^ jnp.pad(q, pad)
+        acc = jnp.sum(anchors, dtype=jnp.int32)
+        for level_quads in subbands:
+            for q in level_quads:
+                acc = acc + jnp.sum(q, dtype=jnp.int32)
+        return x ^ (acc & 255).astype(jnp.uint8)
 
     def enc_grid_step(x):
         g, r = pyramid.encode_plane(x, LEVELS, quant)

@@ -6,10 +6,11 @@ JAX way: a codec instance is a bundle of jit-compiled, shape-specialized
 device functions (compute path) plus host-side container/entropy stages
 (rustyhgi_tpu.utils.container).
 
-Device compute is delegated to :mod:`rustyhgi_tpu.ops.pyramid` (XLA) or the
-fused Pallas kernels in :mod:`rustyhgi_tpu.ops.pallas_kernels` when enabled.
-Compiled executables are cached per input shape; first call per shape pays
-XLA compile time, subsequent calls are pure device execution.
+Device compute is delegated to :mod:`rustyhgi_tpu.ops.pyramid` (XLA); the
+Pallas bit-pack stage in :mod:`rustyhgi_tpu.ops.pallas_kernels` backs the
+container's fast mode.  Compiled executables are cached per input shape;
+first call per shape pays XLA compile time, subsequent calls are pure
+device execution.
 """
 
 from __future__ import annotations

@@ -52,8 +52,18 @@ def _mesh_key(mesh: Mesh):
 
 # Compiled shard_map executables, keyed by (kind, mesh, shape, params).
 # Rebuilding jit(shard_map(...)) per call would re-trace and re-compile
-# every time (~seconds); cached calls are pure dispatch.
+# every time (~seconds); cached calls are pure dispatch.  Bounded FIFO so
+# services cycling through many distinct batch shapes cannot grow it
+# without limit (compiled executables are MBs each).
 _SHARD_CACHE = {}
+_SHARD_CACHE_MAX = 64
+
+
+def _cache_put(key, fn):
+    if len(_SHARD_CACHE) >= _SHARD_CACHE_MAX:
+        _SHARD_CACHE.pop(next(iter(_SHARD_CACHE)))
+    _SHARD_CACHE[key] = fn
+    return fn
 
 
 def encode_batch_sharded(
@@ -72,7 +82,8 @@ def encode_batch_sharded(
     replicated int32[256] count of residual bytes across the *global*
     batch (psum over both mesh axes), the input for shared entropy-coder
     tables (``rans_encode(..., freqs=normalized_freqs(hist))``); it costs
-    a device scatter-add per call, so it is opt-in.  int32 counts bound
+    a device scatter-add per call, so it is opt-in and ``histogram`` is
+    None when not requested.  int32 counts bound
     one call at < 2**31 residual bytes (~2 gigapixels); chunk larger
     batches across calls.
 
@@ -117,9 +128,13 @@ def encode_batch_sharded(
                 out_specs=(spec, spec, P()),
             )
         )
-        _SHARD_CACHE[key] = fn
+        _cache_put(key, fn)
     images = jax.device_put(images, NamedSharding(mesh, spec))
-    return fn(images)
+    grids, recons, hist = fn(images)
+    # None (not a zeros array) when the histogram was not requested, so a
+    # caller that forgot with_histogram=True fails loudly instead of
+    # silently building a degenerate coder table.
+    return grids, recons, (hist if with_histogram else None)
 
 
 def decode_batch_sharded(
@@ -144,7 +159,7 @@ def decode_batch_sharded(
                 local_decode, mesh=mesh, in_specs=(spec,), out_specs=spec
             )
         )
-        _SHARD_CACHE[key] = fn
+        _cache_put(key, fn)
     grids = jax.device_put(grids, NamedSharding(mesh, spec))
     return fn(grids)
 
@@ -167,7 +182,7 @@ def sharded_histogram(grids, mesh: Optional[Mesh] = None) -> jax.Array:
                 local, mesh=mesh, in_specs=(_batch_pspec(),), out_specs=P()
             )
         )
-        _SHARD_CACHE[key] = fn
+        _cache_put(key, fn)
     return fn(grids)
 
 

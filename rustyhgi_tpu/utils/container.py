@@ -263,6 +263,19 @@ def _subband_payload(archive: Archive) -> bytes:
 
 
 _MT_THRESHOLD = 1 << 20  # chunked-parallel rANS pays off above ~1 MB
+_MT_POOL = None
+
+
+def _mt_pool():
+    # Persistent 2-thread pool: the native coder's scratch buffers are
+    # thread_local, so fresh threads per call would re-pay the page-fault
+    # cost of multi-MB allocations every time.
+    global _MT_POOL
+    if _MT_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _MT_POOL = ThreadPoolExecutor(2)
+    return _MT_POOL
 
 
 def _rans_mt_encode(raw: bytes) -> bytes:
@@ -273,28 +286,23 @@ def _rans_mt_encode(raw: bytes) -> bytes:
     cores).  Body: u64 LE first-chunk compressed length, then the two
     streams.
     """
-    from concurrent.futures import ThreadPoolExecutor
-
     from ..ops.entropy import rans_encode
 
     mid = len(raw) // 2
     view = memoryview(raw)  # zero-copy halves; the coder releases the GIL
-    with ThreadPoolExecutor(2) as ex:
-        a, b = ex.map(rans_encode, (view[:mid], view[mid:]))
+    a, b = _mt_pool().map(rans_encode, (view[:mid], view[mid:]))
     return struct.pack("<Q", len(a)) + a + b
 
 
 def _rans_mt_decode(body: bytes, raw_size: int) -> bytes:
-    from concurrent.futures import ThreadPoolExecutor
-
     from ..ops.entropy import rans_decode
 
     (len_a,) = struct.unpack_from("<Q", body, 0)
     mid = raw_size // 2
-    with ThreadPoolExecutor(2) as ex:
-        fa = ex.submit(rans_decode, body[8 : 8 + len_a], mid)
-        fb = ex.submit(rans_decode, body[8 + len_a :], raw_size - mid)
-        return fa.result() + fb.result()
+    ex = _mt_pool()
+    fa = ex.submit(rans_decode, body[8 : 8 + len_a], mid)
+    fb = ex.submit(rans_decode, body[8 + len_a :], raw_size - mid)
+    return fa.result() + fb.result()
 
 
 def _entropy_candidates(raw: bytes, fast: bool = False):
@@ -358,11 +366,13 @@ def write_thgi(
 
 
 def read_thgi_payload(data: bytes):
-    """Parse a .thgi container to ``(metadata, layout_tag, raw_payload)``.
+    """Parse a .thgi container to ``(metadata, layout, raw_payload, raw_size)``.
 
-    ``raw_payload`` is the decompressed byte stream; for the subband
-    layout, :func:`read_thgi_subbands` slices it into arrays without the
-    row-major assembly, enabling the device's direct subband decode.
+    ``raw_payload`` is the decompressed byte stream and ``raw_size`` the
+    header's declared size (validated against layout expectations by the
+    callers); for the subband layout, :func:`read_thgi_subbands` slices it
+    into arrays without the row-major assembly, enabling the device's
+    direct subband decode.
     """
     (magic,) = struct.unpack_from("<I", data, 0)
     if magic != THGI_MAGIC:
@@ -389,24 +399,16 @@ def read_thgi_payload(data: bytes):
         raise ValueError(f"unknown entropy codec tag {tag}")
     if len(raw) < raw_size:
         raise ValueError("truncated payload")
-    return meta, layout, raw
+    return meta, layout, raw, raw_size
 
 
-def read_thgi_subbands(data: bytes, _parsed=None):
-    """Parse a subband-layout .thgi to ``(metadata, anchors, subbands)``.
-
-    Raises ValueError for row-major archives (callers fall back to
-    :func:`read_thgi`).  The arrays feed
-    ``HGICodec.decode_subbands`` directly — no grid assembly, no device
-    re-split.
-    """
-    if _parsed is not None:
-        meta, raw = _parsed
-    else:
-        meta, layout, raw = read_thgi_payload(data)
-        if layout != _LAYOUT_SUBBAND:
-            raise ValueError("archive is not in subband layout")
+def _slice_subbands(meta: Metadata, raw: bytes, raw_size: int):
     a_shape, q_shapes = subband_shapes(meta.height, meta.width, meta.scale_level)
+    expected = a_shape[0] * a_shape[1] + 3 * sum(h * w for h, w in q_shapes)
+    if raw_size != expected:
+        raise ValueError(
+            f"subband payload size {raw_size} != expected {expected}"
+        )
     pos = 0
 
     def take(shape):
@@ -418,22 +420,37 @@ def read_thgi_subbands(data: bytes, _parsed=None):
 
     anchors = take(a_shape)
     subbands = [tuple(take(s) for _ in range(3)) for s in q_shapes]
+    return anchors, subbands
+
+
+def read_thgi_subbands(data: bytes):
+    """Parse a subband-layout .thgi to ``(metadata, anchors, subbands)``.
+
+    Raises ValueError for row-major archives (callers fall back to
+    :func:`read_thgi`).  The arrays feed
+    ``HGICodec.decode_subbands`` directly — no grid assembly, no device
+    re-split.
+    """
+    meta, layout, raw, raw_size = read_thgi_payload(data)
+    if layout != _LAYOUT_SUBBAND:
+        raise ValueError("archive is not in subband layout")
+    anchors, subbands = _slice_subbands(meta, raw, raw_size)
     return meta, anchors, subbands
 
 
 def read_thgi(data: bytes) -> Archive:
     """Parse a .thgi container into an :class:`Archive` (any layout)."""
-    meta, layout, raw = read_thgi_payload(data)
+    meta, layout, raw, raw_size = read_thgi_payload(data)
 
     if layout == _LAYOUT_ROWMAJOR:
-        if len(raw) < meta.width * meta.height:
+        if raw_size != meta.width * meta.height:
             raise ValueError("payload size does not match dimensions")
         grid = np.frombuffer(
-            raw, dtype=np.uint8, count=meta.width * meta.height
+            raw, dtype=np.uint8, count=raw_size
         ).reshape(meta.height, meta.width)
         return Archive(meta, grid.copy())
     if layout == _LAYOUT_SUBBAND:
-        _, anchors, subbands = read_thgi_subbands(data, _parsed=(meta, raw))
+        anchors, subbands = _slice_subbands(meta, raw, raw_size)
         grid = assemble_grid_np(
             anchors, subbands, meta.height, meta.width, meta.scale_level
         )

@@ -118,7 +118,13 @@ def test_rans_mt_chunked_roundtrip():
     )
 
     rng = np.random.default_rng(9)
-    raw = (rng.integers(-6, 7, 3 * 1024 * 1024) % 256).astype(np.uint8).tobytes()
+    # iid skewed bytes: no LZ matches, so rANS beats DEFLATE and the
+    # writer must select the MT codec for this >=1MB plane
+    p_dist = np.exp(-np.arange(256) / 6.0)
+    p_dist /= p_dist.sum()
+    raw = rng.choice(
+        np.arange(256, dtype=np.uint8), p=p_dist, size=3 * 1024 * 1024
+    ).tobytes()
     body = _rans_mt_encode(raw)
     assert _rans_mt_decode(body, len(raw)) == raw
 
@@ -126,5 +132,9 @@ def test_rans_mt_chunked_roundtrip():
     grid = np.frombuffer(raw[: 2048 * 1024], np.uint8).reshape(1024, 2048)
     meta = Metadata(QuantizationLevel.MEDIUM, Interpolation.CROSSED, 2048, 1024, 4)
     blob = write_thgi(Archive(meta, grid))
+    import struct as _struct
+
+    _, tag = _struct.unpack_from("<BB", blob, 28)
+    assert tag == _CODEC_RANS_MT  # the MT candidate actually won
     back = read_archive(blob)
     assert np.array_equal(back.grid, grid)
