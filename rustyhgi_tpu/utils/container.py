@@ -165,10 +165,13 @@ def read_hgi(data: bytes) -> Archive:
         raise ValueError("incorrect magic number")  # archive.rs:48
     meta = Metadata.unpack(data[4 : 4 + _METADATA.size])
     payload = _inflate_raw(data[4 + _METADATA.size :])
-    (n,) = struct.unpack_from("<Q", payload, 0)
-    if n != meta.width * meta.height:
+    n = meta.width * meta.height
+    if len(payload) < 8 + n + 8:
+        raise ValueError("truncated grid payload")
+    (length,) = struct.unpack_from("<Q", payload, 0)
+    if length != n:
         raise ValueError(
-            f"grid length {n} does not match {meta.width}x{meta.height}"
+            f"grid length {length} does not match {meta.width}x{meta.height}"
         )
     buf = np.frombuffer(payload, dtype=np.uint8, count=n, offset=8)
     (width,) = struct.unpack_from("<Q", payload, 8 + n)

@@ -138,3 +138,42 @@ def test_rans_mt_chunked_roundtrip():
     assert tag == _CODEC_RANS_MT  # the MT candidate actually won
     back = read_archive(blob)
     assert np.array_equal(back.grid, grid)
+
+
+@pytest.mark.parametrize("fmt", ["hgi", "thgi"])
+def test_corruption_fuzz_never_crashes(rng, fmt):
+    """Random byte mutations must yield clean errors or valid parses —
+    never hangs, segfaults, or unbounded allocations."""
+    import zlib
+
+    from rustyhgi_tpu.utils.container import write_archive
+
+    grid = (rng.integers(-6, 7, (64, 96)) % 256).astype(np.uint8)
+    meta = Metadata(QuantizationLevel.MEDIUM, Interpolation.CROSSED, 96, 64, 3)
+    blob = bytearray(write_archive(Archive(meta, grid), fmt))
+    for trial in range(60):
+        mutated = bytearray(blob)
+        for _ in range(int(rng.integers(1, 8))):
+            pos = int(rng.integers(0, len(mutated)))
+            mutated[pos] ^= int(rng.integers(1, 256))
+        try:
+            a = read_archive(bytes(mutated))
+            assert a.grid.shape == (a.metadata.height, a.metadata.width)
+        except (ValueError, zlib.error, OverflowError):
+            pass  # clean rejection is the expected outcome
+
+
+def test_truncation_fuzz_never_crashes(rng):
+    import zlib
+
+    from rustyhgi_tpu.utils.container import write_archive
+
+    grid = (rng.integers(-6, 7, (32, 48)) % 256).astype(np.uint8)
+    meta = Metadata(QuantizationLevel.LOW, Interpolation.CROSSED, 48, 32, 3)
+    for fmt in ("hgi", "thgi"):
+        blob = write_archive(Archive(meta, grid), fmt)
+        for cut in range(0, len(blob), max(1, len(blob) // 40)):
+            try:
+                read_archive(blob[:cut])
+            except (ValueError, zlib.error, struct.error, EOFError):
+                pass
