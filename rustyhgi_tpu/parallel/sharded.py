@@ -3,11 +3,11 @@
 Replaces the reference's single-threaded drive loop (there is none to port —
 SURVEY.md §2) with ``shard_map`` data parallelism: a [B, H, W] batch of
 image planes is sharded over the (data, tile) mesh, every device runs the
-dense lattice-pyramid kernel on its local shard, and a ``psum`` over the
-mesh produces the global residual-byte histogram that parameterizes the
-shared rANS entropy table (BASELINE.json: "broadcasting shared quantization
-tables and coder models").  Compressed blocks are gathered on host in
-deterministic batch order.
+dense lattice-pyramid kernel on its local shard, and (opt-in) a ``psum``
+over the mesh produces the global residual-byte histogram that
+parameterizes shared rANS entropy tables (BASELINE.json: "broadcasting
+shared quantization tables and coder models").  Compressed blocks are
+gathered on host in deterministic batch order.
 
 Tiling (the gigapixel axis): ``tile_plane``/``untile_plane`` split an
 arbitrarily large plane into fixed-size tiles that are *independent* HGI
