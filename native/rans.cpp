@@ -16,33 +16,42 @@
 //     word renorm (u16 granularity, lower bound L = 1<<16) guarantees AT
 //     MOST ONE emission per symbol, making emit/refill branchless;
 //   * a single interleaved output stream serializes all states through one
-//     pointer whose advance depends on each symbol's table load -> each of
-//     each state owns an INDEPENDENT stream, so the dependency chains
-//     (slot -> 64KB-table load -> multiply -> refill) overlap fully.
-// W = 4 states balances chain overlap against x86-64 register pressure
-// (8 states + 8 stream pointers spill; 4 + 4 fit).  Symbol i belongs to
-// state i mod 4.  Encoding runs over symbols in reverse, emitting backward
-// into per-state buffers; decoding reads each stream forward.
-// State x (u32) in [1<<16, 1<<32), scale M = 1<<14.
+//     pointer whose advance depends on each symbol's table load -> each
+//     state owns an INDEPENDENT stream, so the dependency chains
+//     (slot -> 64KB-table load -> multiply -> refill) overlap fully —
+//     and, with per-lane stream offsets, vectorize cleanly.
+// W = 16 states: symbol i belongs to state i mod 16.  The scalar paths
+// process the states in four groups of four (4 states + 4 stream pointers
+// fit x86-64 registers; state groups are independent, so group-at-a-time
+// passes are legal for both directions), and the AVX-512 paths process
+// all 16 lanes at once with per-lane stream offsets (no compress/expand
+// needed — each lane refills from its own stream).  Encoding runs over
+// symbols in reverse, emitting backward into per-state buffers; decoding
+// reads each stream forward.  State x (u32) in [1<<16, 1<<32), M = 1<<14.
 //
 // Stream layout produced by rans_compress:
 //   u16 LE freq[256]    (normalized to sum 1<<14; 512 bytes)
-//   u8  variant         (0xC0 flag = per-state word streams | ways = 4)
+//   u8  variant         (0xC0 flag = per-state word streams | ways = 16)
 //   u32 LE total stream length S
-//   u32 LE per-state stream lengths [4]
-//   4 concatenated per-state streams, each: 4-byte big-endian final state
+//   u32 LE per-state stream lengths [16]
+//   16 concatenated per-state streams, each: 4-byte big-endian final state
 //   flush followed by that state's renorm words (u16 LE), read forward.
 
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
+
+#if defined(__AVX512F__)
+#include <immintrin.h>
+#endif
 
 namespace {
 
 constexpr uint32_t kScaleBits = 14;
 constexpr uint32_t kM = 1u << kScaleBits;
 constexpr uint32_t kWordL = 1u << 16;  // word-renorm lower bound
-constexpr uint32_t kWays = 4;
+constexpr uint32_t kWays = 16;
 constexpr uint8_t kVariant = 0xC0 | kWays;  // per-state word streams
 
 // Normalize raw counts to sum exactly kM, every present symbol >= 1 and
@@ -125,6 +134,11 @@ void build_enc_table(const uint16_t* freq, const uint32_t* cum, EncSym* syms) {
       e.bias = cum[s];
     }
   }
+}
+
+bool simd_disabled() {
+  static const bool disabled = std::getenv("RUSTYHGI_NO_SIMD") != nullptr;
+  return disabled;
 }
 
 }  // namespace
@@ -213,19 +227,95 @@ uint64_t rans_compress(const uint8_t* __restrict in, uint64_t n,
     --i;
     put(x[i % kWays], ptrs[i % kWays], in[i]);
   }
-  if (i) {
-    uint32_t x0 = x[0], x1 = x[1], x2 = x[2], x3 = x[3];
-    uint8_t *p0 = ptrs[0], *p1 = ptrs[1], *p2 = ptrs[2], *p3 = ptrs[3];
-    do {
-      const uint8_t* __restrict s = in + i - kWays;
-      put(x3, p3, s[3]);
-      put(x2, p2, s[2]);
-      put(x1, p1, s[1]);
-      put(x0, p0, s[0]);
-      i -= kWays;
-    } while (i);
-    x[0] = x0; x[1] = x1; x[2] = x2; x[3] = x3;
-    ptrs[0] = p0; ptrs[1] = p1; ptrs[2] = p2; ptrs[3] = p3;
+  const uint64_t main_n = i;
+  bool simd_done = false;
+#if defined(__AVX512F__)
+  if (main_n && !simd_disabled() && n < (1ull << 30)) {
+    // All 16 states at once.  Per-symbol tables packed for 32-bit
+    // gathers: rcp_freq alone; bias | cmpl_freq << 16 (bias < 2^15,
+    // cmpl < 2^15); rcp_shift alone.  x_max is not gathered — it is
+    // derived in-register as f << 18 with f = M - cmpl.
+    alignas(64) uint32_t t_rcp[256], t_bc[256], t_sh[256];
+    for (int s2 = 0; s2 < 256; ++s2) {
+      t_rcp[s2] = syms[s2].rcp_freq;
+      t_bc[s2] = syms[s2].bias | (syms[s2].cmpl_freq << 16);
+      t_sh[s2] = syms[s2].rcp_shift;
+    }
+    uint8_t* sbase = scratch.data();
+    alignas(64) uint32_t x_a[kWays], offs_a[kWays];
+    for (uint32_t w = 0; w < kWays; ++w) {
+      x_a[w] = x[w];
+      offs_a[w] = (uint32_t)(ptrs[w] - sbase);
+    }
+    __m512i vx = _mm512_load_si512(x_a);
+    __m512i voffs = _mm512_load_si512(offs_a);
+    const __m512i vM = _mm512_set1_epi32((int)kM);
+    const __m512i vlow16 = _mm512_set1_epi32(0xFFFF);
+    const __m512i vlow15 = _mm512_set1_epi32(0x7FFF);
+    const __m512i vtwo = _mm512_set1_epi32(2);
+    const __m512i vfour = _mm512_set1_epi32(4);
+    const __m512i oddmask32 =
+        _mm512_set1_epi64((long long)0xFFFFFFFF00000000ull);
+    (void)oddmask32;
+    for (uint64_t j = main_n; j > 0; j -= kWays) {
+      const __m512i sym = _mm512_cvtepu8_epi32(
+          _mm_loadu_si128((const __m128i*)(in + j - kWays)));
+      const __m512i rcp = _mm512_i32gather_epi32(sym, (const int*)t_rcp, 4);
+      const __m512i bc = _mm512_i32gather_epi32(sym, (const int*)t_bc, 4);
+      const __m512i sh = _mm512_i32gather_epi32(sym, (const int*)t_sh, 4);
+      const __m512i bias = _mm512_and_epi32(bc, vlow15);
+      const __m512i cmpl = _mm512_srli_epi32(bc, 16);
+      const __m512i f = _mm512_sub_epi32(vM, cmpl);
+      const __m512i xmax = _mm512_slli_epi32(f, 18);
+      // Branchless word renorm: store the u16 (as the high half of a
+      // 32-bit word at offs-4 — the two clobbered low bytes are the next
+      // positions this lane will write) and bump the offset when needed.
+      const __mmask16 ren = _mm512_cmpge_epu32_mask(vx, xmax);
+      _mm512_mask_i32scatter_epi32(
+          sbase, ren, _mm512_sub_epi32(voffs, vfour),
+          _mm512_slli_epi32(vx, 16), 1);
+      voffs = _mm512_mask_sub_epi32(voffs, ren, voffs, vtwo);
+      vx = _mm512_mask_blend_epi32(ren, vx, _mm512_srli_epi32(vx, 16));
+      // q = mulhi32(x, rcp) >> shift  (two vpmuludq + odd-lane blend)
+      const __m512i lo64 = _mm512_mul_epu32(vx, rcp);
+      const __m512i hi64 = _mm512_mul_epu32(
+          _mm512_srli_epi64(vx, 32), _mm512_srli_epi64(rcp, 32));
+      const __m512i mulhi_even = _mm512_srli_epi64(lo64, 32);
+      const __m512i mulhi =
+          _mm512_mask_mov_epi32(mulhi_even, (__mmask16)0xAAAA, hi64);
+      const __m512i q = _mm512_srlv_epi32(mulhi, sh);
+      vx = _mm512_add_epi32(
+          _mm512_add_epi32(vx, bias), _mm512_mullo_epi32(q, cmpl));
+    }
+    _mm512_store_si512(x_a, vx);
+    _mm512_store_si512(offs_a, voffs);
+    for (uint32_t w = 0; w < kWays; ++w) {
+      x[w] = x_a[w];
+      ptrs[w] = sbase + offs_a[w];
+    }
+    simd_done = true;
+  }
+#endif
+  // Four passes, four states each: states are independent, so encoding
+  // one group over the whole input before the next preserves each
+  // state's required reverse order while keeping registers unspilled.
+  if (main_n && !simd_done) {
+    for (uint32_t base = 0; base < kWays; base += 4) {
+      uint32_t x0 = x[base], x1 = x[base + 1];
+      uint32_t x2 = x[base + 2], x3 = x[base + 3];
+      uint8_t *p0 = ptrs[base], *p1 = ptrs[base + 1];
+      uint8_t *p2 = ptrs[base + 2], *p3 = ptrs[base + 3];
+      for (uint64_t j = main_n; j > 0; j -= kWays) {
+        const uint8_t* __restrict s = in + j - kWays + base;
+        put(x3, p3, s[3]);
+        put(x2, p2, s[2]);
+        put(x1, p1, s[1]);
+        put(x0, p0, s[0]);
+      }
+      x[base] = x0; x[base + 1] = x1; x[base + 2] = x2; x[base + 3] = x3;
+      ptrs[base] = p0; ptrs[base + 1] = p1;
+      ptrs[base + 2] = p2; ptrs[base + 3] = p3;
+    }
   }
 
   // Assemble: header, per-state lengths, then each stream prefixed by its
@@ -302,7 +392,7 @@ int rans_decompress(const uint8_t* __restrict in, uint64_t in_size,
     uint16_t freq;
   };
   static thread_local std::vector<Entry> tab(kM);
-  static thread_local std::vector<uint16_t> cumtab(kM);
+  static thread_local std::vector<uint16_t> cumtab(kM + 2);  // +2: SIMD 4B gather at slot kM-1
   for (int s = 0; s < 256; ++s)
     for (uint32_t j = cum[s]; j < cum[s + 1]; ++j) {
       tab[j].sym = (uint8_t)s;
@@ -315,10 +405,14 @@ int rans_decompress(const uint8_t* __restrict in, uint64_t in_size,
   // Copy the streams into padded thread-local storage so the branchless
   // refill's unconditional 2-byte load can never read past the caller's
   // buffer.
+  // Padding covers both the branchless 2-byte refill and the SIMD path's
+  // 4-byte gathers, including a malformed stream walking a lane's offset
+  // past its end (bounded by 2 bytes/symbol; detected after the loop).
   static thread_local std::vector<uint8_t> inbuf;
-  if (inbuf.size() < total + 16) inbuf.resize(total + 16);
+  const uint64_t inbuf_need = total + 2 * (n / kWays) + 64;
+  if (inbuf.size() < inbuf_need) inbuf.resize(inbuf_need);
   std::memcpy(inbuf.data(), in + header, total);
-  std::memset(inbuf.data() + total, 0, 16);
+  std::memset(inbuf.data() + total, 0, inbuf_need - total);
 
   const uint8_t* ptrs[kWays];
   const uint8_t* pends[kWays];
@@ -347,22 +441,78 @@ int rans_decompress(const uint8_t* __restrict in, uint64_t in_size,
     p += 2 * need;
   };
 
-  uint64_t i = 0;
   const uint64_t main_n = n - (n % kWays);
-  if (main_n) {
-    uint32_t x0 = x[0], x1 = x[1], x2 = x[2], x3 = x[3];
-    const uint8_t *p0 = ptrs[0], *p1 = ptrs[1], *p2 = ptrs[2], *p3 = ptrs[3];
-    for (; i < main_n; i += kWays) {
-      uint8_t* o = out + i;
-      get(x0, p0, o);
-      get(x1, p1, o + 1);
-      get(x2, p2, o + 2);
-      get(x3, p3, o + 3);
+  bool simd_done = false;
+#if defined(__AVX512F__)
+  if (main_n && !simd_disabled()) {
+    // All 16 lanes at once: table lookups via 32-bit gathers (the Entry
+    // struct is already sym | freq<<16 as a little-endian u32), refill
+    // via per-lane offset gathers from the padded stream buffer.
+    const uint8_t* base = inbuf.data();
+    alignas(64) uint32_t x_a[kWays], offs_a[kWays];
+    for (uint32_t w = 0; w < kWays; ++w) {
+      x_a[w] = x[w];
+      offs_a[w] = (uint32_t)(ptrs[w] - base);
     }
-    x[0] = x0; x[1] = x1; x[2] = x2; x[3] = x3;
-    ptrs[0] = p0; ptrs[1] = p1; ptrs[2] = p2; ptrs[3] = p3;
+    __m512i vx = _mm512_load_si512(x_a);
+    __m512i voffs = _mm512_load_si512(offs_a);
+    const __m512i vslotmask = _mm512_set1_epi32((int)(kM - 1));
+    const __m512i vlow8 = _mm512_set1_epi32(0xFF);
+    const __m512i vlow16 = _mm512_set1_epi32(0xFFFF);
+    const __m512i vwordl = _mm512_set1_epi32((int)kWordL);
+    const __m512i vtwo = _mm512_set1_epi32(2);
+    for (uint64_t i = 0; i < main_n; i += kWays) {
+      const __m512i slot = _mm512_and_epi32(vx, vslotmask);
+      const __m512i e1 =
+          _mm512_i32gather_epi32(slot, (const int*)tabp, 4);
+      const __m512i cum = _mm512_and_epi32(
+          _mm512_i32gather_epi32(slot, (const int*)cump, 2), vlow16);
+      const __m512i sym = _mm512_and_epi32(e1, vlow8);
+      const __m512i freq = _mm512_srli_epi32(e1, 16);
+      vx = _mm512_add_epi32(
+          _mm512_sub_epi32(
+              _mm512_mullo_epi32(freq, _mm512_srli_epi32(vx, kScaleBits)),
+              cum),
+          slot);
+      _mm512_mask_cvtepi32_storeu_epi8(out + i, 0xFFFF, sym);
+      const __mmask16 need = _mm512_cmplt_epu32_mask(vx, vwordl);
+      __m512i word = _mm512_mask_i32gather_epi32(
+          _mm512_setzero_si512(), need, voffs, (const int*)base, 1);
+      word = _mm512_and_epi32(word, vlow16);
+      const __m512i refilled =
+          _mm512_or_epi32(_mm512_slli_epi32(vx, 16), word);
+      vx = _mm512_mask_blend_epi32(need, vx, refilled);
+      voffs = _mm512_mask_add_epi32(voffs, need, voffs, vtwo);
+    }
+    _mm512_store_si512(x_a, vx);
+    _mm512_store_si512(offs_a, voffs);
+    for (uint32_t w = 0; w < kWays; ++w) {
+      x[w] = x_a[w];
+      ptrs[w] = base + offs_a[w];
+    }
+    simd_done = true;
   }
-  for (; i < n; ++i) get(x[i % kWays], ptrs[i % kWays], out + i);
+#endif
+  if (main_n && !simd_done) {
+    for (uint32_t base = 0; base < kWays; base += 4) {
+      uint32_t x0 = x[base], x1 = x[base + 1];
+      uint32_t x2 = x[base + 2], x3 = x[base + 3];
+      const uint8_t *p0 = ptrs[base], *p1 = ptrs[base + 1];
+      const uint8_t *p2 = ptrs[base + 2], *p3 = ptrs[base + 3];
+      for (uint64_t j = 0; j < main_n; j += kWays) {
+        uint8_t* o = out + j + base;
+        get(x0, p0, o);
+        get(x1, p1, o + 1);
+        get(x2, p2, o + 2);
+        get(x3, p3, o + 3);
+      }
+      x[base] = x0; x[base + 1] = x1; x[base + 2] = x2; x[base + 3] = x3;
+      ptrs[base] = p0; ptrs[base + 1] = p1;
+      ptrs[base + 2] = p2; ptrs[base + 3] = p3;
+    }
+  }
+  for (uint64_t i = main_n; i < n; ++i)
+    get(x[i % kWays], ptrs[i % kWays], out + i);
 
   // Malformed streams can only over-consume into the zero padding; detect
   // it after the fact instead of per symbol.

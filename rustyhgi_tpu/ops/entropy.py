@@ -99,7 +99,7 @@ def rans_decode(data: bytes, raw_size: int) -> bytes:
 # -- pure-Python mirror (slow, for portability and cross-validation) -------
 
 
-_WAYS = 4  # interleave width; must match native/rans.cpp kWays
+_WAYS = 16  # interleave width; must match native/rans.cpp kWays
 _VARIANT = 0xC0 | _WAYS  # per-state word-renormalized streams
 
 

@@ -96,3 +96,38 @@ def test_normalized_freqs_properties(rng):
     assert int(freq.sum()) == 1 << 14
     assert freq[5] >= 1  # present symbols never get zero probability
     assert freq[7] == 0
+
+
+@needs_native
+def test_simd_scalar_bitstream_identity(rng):
+    """The AVX-512 paths must emit byte-identical streams to the scalar
+    fallback (RUSTYHGI_NO_SIMD=1) — checked via a subprocess because the
+    toggle is read once per process."""
+    import hashlib
+    import os
+    import subprocess
+    import sys
+
+    data = bytes(rng.integers(0, 64, 300_007, dtype=np.uint8))
+    blob = native_rans_compress(data)
+    assert native_rans_decompress(blob, len(data)) == data
+
+    code = (
+        "import sys, hashlib, numpy as np\n"
+        f"sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})\n"
+        "from rustyhgi_tpu.ops.native import native_rans_compress, native_rans_decompress\n"
+        "rng = np.random.default_rng()\n"
+        "import sys as s2\n"
+        "data = s2.stdin.buffer.read()\n"
+        "blob = native_rans_compress(data)\n"
+        "assert native_rans_decompress(blob, len(data)) == data\n"
+        "print(hashlib.sha256(blob).hexdigest())\n"
+    )
+    env = dict(os.environ)
+    env["RUSTYHGI_NO_SIMD"] = "1"
+    r = subprocess.run(
+        [sys.executable, "-c", code], input=data, capture_output=True, env=env
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    scalar_digest = r.stdout.decode().strip()
+    assert scalar_digest == __import__("hashlib").sha256(blob).hexdigest()
