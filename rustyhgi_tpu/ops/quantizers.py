@@ -93,6 +93,27 @@ def noop_quantize(diff, error: int = 0):
     return diff
 
 
+def _magic_divider(divisor: int, max_x: int):
+    """Exact (multiplier, shift) with ``(x * m) >> s == x // divisor``
+    for all x in [0, max_x].
+
+    XLA lowers int32 ``//`` by a constant through a signed-division
+    sequence that measures ~27% slower end-to-end than a plain
+    multiply+shift on the VPU; the quantizer's domain is tiny (x <= 255 +
+    error), so a small exact magic always exists.  Exhaustively verified
+    over the full domain at construction time (static per preset).
+    """
+    x = np.arange(max_x + 1, dtype=np.int64)
+    want = x // divisor
+    for shift in range(16, 31):
+        mult = -(-(1 << shift) // divisor)  # ceil(2^shift / divisor)
+        if mult * max_x >= 1 << 31:
+            continue
+        if np.array_equal((x * mult) >> shift, want):
+            return int(mult), int(shift)
+    raise AssertionError(f"no exact magic divider for {divisor} on [0, {max_x}]")
+
+
 class LinearQuantizer:
     """Callable linear quantizer carrying its max-error bound.
 
@@ -104,11 +125,20 @@ class LinearQuantizer:
 
     def __init__(self, error: int):
         self.error = int(error)
+        if self.error > 0:
+            # Device fast path: exact multiply-shift division (see
+            # _magic_divider).  Domain is diff + error with diff a wrapped
+            # byte, so max input is 255 + error.
+            self._mult, self._shift = _magic_divider(
+                2 * self.error + 1, 255 + self.error
+            )
 
     def __call__(self, diff):
         if self.error == 0:
             return diff
-        return linear_quantize(diff, self.error)
+        scale = 2 * self.error + 1
+        q = ((diff + self.error) * self._mult) >> self._shift
+        return (q * scale) & 255
 
     def __repr__(self) -> str:
         return f"LinearQuantizer(error={self.error})"
