@@ -63,14 +63,17 @@ def min_time(fn, iters: int = 5) -> float:
 
 
 def device_seconds_per_call(
-    step, x, k_lo: int = 2, k_hi: int = 18, floor_bytes: int = 0
+    step, x, k_lo: int = 8, k_hi: int = 40, floor_bytes: int = 0,
+    retries: int = 3,
 ) -> float:
     """Steady-state device time of ``step`` via chained-iteration slope.
 
-    ``floor_bytes`` is the minimum HBM traffic one call must perform; the
-    slope is clamped to floor_bytes / 900 GB/s so a contention spike in
-    the K_lo sample cannot fabricate physically impossible throughput
-    (min-of-5 sampling already rejects most spikes).
+    ``floor_bytes`` is the minimum HBM traffic one call must perform,
+    giving a physical plausibility floor at the device's HBM bandwidth.
+    A slope below the floor means a contention spike corrupted the K_lo
+    sample (it can even go negative); such samples are REJECTED and
+    re-measured rather than clamped — clamping would fabricate the best
+    possible number exactly when the measurement is worst.
     """
     import jax
     import jax.numpy as jnp
@@ -85,16 +88,9 @@ def device_seconds_per_call(
 
         return f
 
-    times = {}
-    for k in (k_lo, k_hi):
-        f = chained(k)
-        r = f(x)
-        np.asarray(r.ravel()[:1])  # warm (compile + first run)
-        times[k] = min_time(lambda: np.asarray(f(x).ravel()[:1]))
-    per = (times[k_hi] - times[k_lo]) / (k_hi - k_lo)
     # Plausibility floor from the attached device's HBM bandwidth (with
     # ~10% headroom) so a contention spike cannot fabricate impossible
-    # throughput, without clamping legitimately faster hardware.
+    # throughput, without rejecting legitimately faster hardware.
     kind = str(jax.devices()[0]).lower()
     if "v5 lite" in kind or "v5e" in kind:
         bw = 9.0e11
@@ -103,11 +99,25 @@ def device_seconds_per_call(
     else:
         bw = 3.0e12  # v5p and beyond
     floor = floor_bytes / bw
-    if per < floor:
+
+    fns = {}
+    for k in (k_lo, k_hi):
+        fns[k] = chained(k)
+        np.asarray(fns[k](x).ravel()[:1])  # warm (compile + first run)
+    per = None
+    for attempt in range(retries):
+        times = {
+            k: min_time(lambda f=fns[k]: np.asarray(f(x).ravel()[:1]))
+            for k in (k_lo, k_hi)
+        }
+        per = (times[k_hi] - times[k_lo]) / (k_hi - k_lo)
+        if per >= floor:
+            return per
         log(f"WARNING: slope {per * 1e6:.0f}us below HBM floor "
-            f"{floor * 1e6:.0f}us for {kind!r} (tunnel contention); clamping")
-        per = floor
-    return per
+            f"{floor * 1e6:.0f}us for {kind!r} (tunnel contention); "
+            f"retry {attempt + 1}/{retries}")
+    log("WARNING: contention persisted; reporting the floor-clamped slope")
+    return max(per, floor)
 
 
 def main() -> int:
@@ -191,13 +201,13 @@ def main() -> int:
         return f
 
     times = {}
-    for k in (2, 18):
+    for k in (8, 40):
         f = _chained_sb(k)
         np.asarray(f(anchors, subbands).ravel()[:1])
         times[k] = min_time(
             lambda: np.asarray(f(anchors, subbands).ravel()[:1])
         )
-    t_dec_sb = (times[18] - times[2]) / 16
+    t_dec_sb = (times[40] - times[8]) / 32
     dec_sb_mpixps = npix_batch / t_dec_sb / 1e6
     log(f"decode (subband): {t_dec_sb * 1e3:.2f} ms/batch -> {dec_sb_mpixps:.0f} MPix/s")
 
@@ -286,7 +296,7 @@ def main() -> int:
         "device": str(dev),
         "config": {
             "w": W, "h": H, "batch": BATCH, "levels": LEVELS,
-            "methodology": "chained fori_loop slope (K=2 vs 18)",
+            "methodology": "chained fori_loop slope (K=8 vs 40)",
         },
         "encode_lossless_mpix_s": enc_mpixps,
         "encode_grid_lossless_mpix_s": enc_grid_mpixps,

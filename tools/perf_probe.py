@@ -66,7 +66,7 @@ def enc_sb_lossless(x):
 
 # 3. pyramid split alone (all levels)
 def split_only(x):
-    t, quads = _quad_pyramid(pyramid._pad_canvas(x, LEVELS), LEVELS)
+    t, quads, _ = _quad_pyramid(pyramid._pad_canvas(x, LEVELS), LEVELS)
     acc = jnp.sum(t, dtype=jnp.int32)
     for q3 in quads:
         for q in q3:
@@ -76,7 +76,7 @@ def split_only(x):
 
 # 4. interleave chain alone (recon carry shape): rebuild from quads
 def interleave_only(x):
-    t, quads = _quad_pyramid(pyramid._pad_canvas(x, LEVELS), LEVELS)
+    t, quads, _ = _quad_pyramid(pyramid._pad_canvas(x, LEVELS), LEVELS)
     for k in range(LEVELS - 1, -1, -1):
         t = _interleave4(t, *quads[k])
     return t[..., : x.shape[-2], : x.shape[-1]]
@@ -84,7 +84,7 @@ def interleave_only(x):
 
 # 5. prediction tree alone per level (no quantize, no interleave)
 def pred_only(x):
-    t, quads = _quad_pyramid(pyramid._pad_canvas(x, LEVELS), LEVELS)
+    t, quads, _ = _quad_pyramid(pyramid._pad_canvas(x, LEVELS), LEVELS)
     acc = jnp.zeros((), jnp.int32)
     coarse = t
     for level in range(LEVELS):
@@ -99,7 +99,7 @@ def pred_only(x):
 def enc_sb_medium_nofix(x):
     h, w = x.shape[-2:]
     img = pyramid._pad_canvas(x.astype(jnp.uint8), LEVELS)
-    coarse, quads = _quad_pyramid(img, LEVELS)
+    coarse, quads, _ = _quad_pyramid(img, LEVELS)
     acc = jnp.sum(coarse, dtype=jnp.int32)
     for level in range(LEVELS):
         pred = cell_prediction(coarse.astype(jnp.int32))
@@ -126,7 +126,7 @@ def quant_mulshift(diff):
 def enc_sb_medium_mulshift(x):
     h, w = x.shape[-2:]
     img = pyramid._pad_canvas(x.astype(jnp.uint8), LEVELS)
-    coarse, quads = _quad_pyramid(img, LEVELS)
+    coarse, quads, _ = _quad_pyramid(img, LEVELS)
     acc = jnp.sum(coarse, dtype=jnp.int32)
     for level in range(LEVELS):
         pred = cell_prediction(coarse.astype(jnp.int32))
