@@ -30,6 +30,8 @@ __all__ = [
     "native_decode",
     "native_rans_compress",
     "native_rans_decompress",
+    "native_ctx_compress",
+    "native_ctx_decompress",
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -78,6 +80,17 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.rans_decompress.restype = ctypes.c_int
         lib.rans_histogram.argtypes = [u8p, ctypes.c_uint64, u64p]
         lib.rans_histogram.restype = None
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        lib.ctx_worst_size.argtypes = [ctypes.c_uint64]
+        lib.ctx_worst_size.restype = ctypes.c_uint64
+        lib.ctx_compress.argtypes = [
+            u8p, ctypes.c_uint64, u32p, u8p, ctypes.c_uint64
+        ]
+        lib.ctx_compress.restype = ctypes.c_uint64
+        lib.ctx_decompress.argtypes = [
+            u8p, ctypes.c_uint64, ctypes.c_uint64, u32p, u8p
+        ]
+        lib.ctx_decompress.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -154,6 +167,58 @@ def native_rans_compress(
     if n == 0:
         raise RuntimeError("rans_compress: insufficient output capacity")
     return out[:n].tobytes()
+
+
+def _piece_array(pieces) -> np.ndarray:
+    arr = np.ascontiguousarray(pieces, dtype=np.uint32)
+    if arr.ndim != 2 or arr.shape[1] != 3:
+        raise ValueError("piece table must be (h, w, group) triples")
+    return arr
+
+
+def native_ctx_compress(payload: bytes, pieces) -> bytes:
+    """Context-adaptive coder encode (see ops/ctxcoder.py for the spec)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    src = np.frombuffer(payload, dtype=np.uint8)
+    tab = _piece_array(pieces)
+    cap = int(lib.ctx_worst_size(src.size))
+    out = _out_buffer(cap)
+    n = int(
+        lib.ctx_compress(
+            _u8ptr(src),
+            tab.shape[0],
+            tab.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            _u8ptr(out),
+            cap,
+        )
+    )
+    if n == 0:
+        raise RuntimeError("ctx_compress: insufficient output capacity")
+    return out[:n].tobytes()
+
+
+def native_ctx_decompress(data: bytes, pieces) -> bytes:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    src = np.frombuffer(data, dtype=np.uint8)
+    tab = _piece_array(pieces)
+    total = int((tab[:, 0].astype(np.uint64) * tab[:, 1]).sum())
+    out = np.zeros(total, dtype=np.uint8)
+    rc = int(
+        lib.ctx_decompress(
+            _u8ptr(src),
+            src.size,
+            tab.shape[0],
+            tab.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            _u8ptr(out),
+        )
+    )
+    if rc != 0:
+        raise ValueError(f"ctx_decompress: malformed stream (code {rc})")
+    return out.tobytes()
 
 
 def native_rans_decompress(data: bytes, raw_size: int) -> bytes:

@@ -189,6 +189,7 @@ _CODEC_DEFLATE = 0
 _CODEC_RANS = 1
 _CODEC_BITPACK = 2  # device-side Pallas bit-plane pack (fast mode)
 _CODEC_RANS_MT = 3  # two independent rANS chunks, coded in parallel
+_CODEC_CTX = 4  # context-adaptive binary range coder (subband layout only)
 
 _LAYOUT_ROWMAJOR = 0
 _LAYOUT_SUBBAND = 1
@@ -332,8 +333,27 @@ def _entropy_candidates(raw: bytes, fast: bool = False):
         pass  # native entropy backend unavailable; DEFLATE always works
 
 
+def _ctx_pieces(meta: Metadata):
+    from ..ops.ctxcoder import piece_table
+
+    a_shape, q_shapes = subband_shapes(meta.height, meta.width, meta.scale_level)
+    return piece_table(a_shape, q_shapes)
+
+
+_CODEC_NAMES = {
+    "deflate": _CODEC_DEFLATE,
+    "rans": _CODEC_RANS,
+    "bitpack": _CODEC_BITPACK,
+    "rans_mt": _CODEC_RANS_MT,
+    "ctx": _CODEC_CTX,
+}
+
+
 def write_thgi(
-    archive: Archive, layouts=("rowmajor", "subband"), fast: bool = False
+    archive: Archive,
+    layouts=("rowmajor", "subband"),
+    fast: bool = False,
+    codecs=None,
 ) -> bytes:
     """Serialize to the native container.
 
@@ -345,18 +365,43 @@ def write_thgi(
     smallest, so .thgi is never larger than the .hgi body.  With
     ``fast=True`` the payload is device-bit-packed instead of host
     entropy-coded (throughput over size).
+
+    The subband layout additionally tries the context-adaptive range
+    coder (ops/ctxcoder.py): zigzag bit-trees with per-level 2D-activity
+    contexts, measured 3-13% smaller than the best of {DEFLATE-9, rANS}
+    on the reference's own test images.
+
+    ``codecs`` optionally restricts the candidate entropy codecs to a
+    subset of {"deflate", "rans", "rans_mt", "bitpack", "ctx"}; default
+    tries everything the mode allows and keeps the smallest.
     """
+    allowed = None
+    if codecs is not None:
+        allowed = {_CODEC_NAMES[c] for c in codecs}
+
+    def keep(tag):
+        return allowed is None or tag in allowed
+
     candidates = []
     if "rowmajor" in layouts:
         raw = archive.grid.tobytes()
         for tag, body in _entropy_candidates(raw, fast):
-            candidates.append((_LAYOUT_ROWMAJOR, tag, len(raw), body))
+            if keep(tag):
+                candidates.append((_LAYOUT_ROWMAJOR, tag, len(raw), body))
     if "subband" in layouts and archive.metadata.scale_level > 0:
         raw = _subband_payload(archive)
         for tag, body in _entropy_candidates(raw, fast):
-            candidates.append((_LAYOUT_SUBBAND, tag, len(raw), body))
+            if keep(tag):
+                candidates.append((_LAYOUT_SUBBAND, tag, len(raw), body))
+        if not fast and keep(_CODEC_CTX):
+            from ..ops.ctxcoder import ctx_encode
+
+            body = ctx_encode(raw, _ctx_pieces(archive.metadata))
+            candidates.append((_LAYOUT_SUBBAND, _CODEC_CTX, len(raw), body))
     if not candidates:
-        raise ValueError(f"no valid layouts among {layouts!r}")
+        raise ValueError(
+            f"no valid candidates for layouts={layouts!r} codecs={codecs!r}"
+        )
     layout, tag, raw_len, body = min(candidates, key=lambda c: len(c[3]))
     return b"".join(
         (
@@ -398,6 +443,12 @@ def read_thgi_payload(data: bytes):
         raw = unpack_bytes(body).tobytes()
     elif tag == _CODEC_RANS_MT:
         raw = _rans_mt_decode(body, raw_size)
+    elif tag == _CODEC_CTX:
+        if layout != _LAYOUT_SUBBAND:
+            raise ValueError("ctx codec requires the subband layout")
+        from ..ops.ctxcoder import ctx_decode
+
+        raw = ctx_decode(body, _ctx_pieces(meta))
     else:
         raise ValueError(f"unknown entropy codec tag {tag}")
     if len(raw) < raw_size:
