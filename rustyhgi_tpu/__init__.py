@@ -36,6 +36,7 @@ from .utils.container import (
     read_archive,
     read_hgi,
     read_thgi,
+    read_thgi_preview,
     write_archive,
     write_hgi,
     write_thgi,
@@ -53,6 +54,7 @@ __all__ = [
     "read_archive",
     "read_hgi",
     "read_thgi",
+    "read_thgi_preview",
     "write_archive",
     "write_hgi",
     "write_thgi",

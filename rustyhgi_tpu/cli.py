@@ -110,6 +110,30 @@ def cmd_decode(args) -> int:
 
     with open(args.input, "rb") as f:
         data = f.read()
+    if getattr(args, "preview", None) is not None:
+        # Progressive decode: reconstruct only the coarsest N levels ->
+        # a 2**(levels-N)-downsampled preview.  Subband .thgi archives
+        # entropy-decode only the payload prefix.
+        from .utils.container import HGI_MAGIC, read_thgi_preview, split_grid_np
+        import struct as _struct
+
+        (magic,) = _struct.unpack_from("<I", data, 0)
+        if magic == HGI_MAGIC:
+            archive = read_archive(data)
+            meta = archive.metadata
+            anchors, subbands = split_grid_np(archive.grid, meta.scale_level)
+            upto = max(0, min(args.preview, len(subbands)))
+            subbands = subbands[:upto]
+        else:
+            meta, anchors, subbands, upto = read_thgi_preview(data, args.preview)
+        codec = HGICodec(meta.scale_level)
+        preview = np.asarray(
+            codec.decode_preview(
+                anchors, subbands, (meta.height, meta.width), upto
+            )
+        )
+        save_gray(args.output, preview)
+        return 0
     if args.backend == "jax":
         # Subband-layout .thgi archives feed the device decoder directly
         # (no grid assembly, no device re-split).
@@ -318,6 +342,15 @@ def main(argv=None) -> int:
     p.add_argument("-o", "--output", required=True)
     p.add_argument(
         "--backend", choices=("jax", "oracle", "native"), default="jax"
+    )
+    p.add_argument(
+        "--preview",
+        type=int,
+        default=None,
+        metavar="N",
+        help="progressive decode: reconstruct only the coarsest N levels "
+        "(a 2^(levels-N)-downsampled preview; subband .thgi archives "
+        "entropy-decode only the payload prefix)",
     )
     p.set_defaults(fn=cmd_decode)
 

@@ -152,6 +152,26 @@ class HGICodec:
             self._decode_cache[key] = fn
         return fn(anchors, subbands)
 
+    def decode_preview(self, anchors, subbands, shape, upto: int):
+        """Progressive decode: the 2**(levels-upto)-downsampled preview.
+
+        ``preview[i, j] == full[i * s, j * s]`` exactly (refinement never
+        touches coarser-lattice pixels); pair with
+        ``utils.container.read_thgi_preview`` so only the archive prefix
+        is entropy-decoded.  See ops.pyramid.decode_preview.
+        """
+        key = ("pv", tuple(shape), int(upto))
+        fn = self._decode_cache.get(key)
+        if fn is None:
+            levels, pred = self.levels, self._predictor_fn
+            fn = jax.jit(
+                lambda a, s: pyramid.decode_preview(
+                    a, s, shape, levels, upto, pred
+                )
+            )
+            self._decode_cache[key] = fn
+        return fn(anchors, subbands)
+
     def compile(self, *shapes: Tuple[int, int]) -> "HGICodec":
         """Ahead-of-time warm-up: compile encode/decode for given shapes.
 

@@ -59,6 +59,7 @@ __all__ = [
     "cell_prediction",
     "encode_plane",
     "decode_plane",
+    "decode_preview",
     "reconstruct_encode",
 ]
 
@@ -361,6 +362,49 @@ def decode_subbands(
             recon_q.append(r.astype(_U8))
         coarse = _interleave4(coarse, *recon_q)
     return coarse[..., :h, :w]
+
+
+def decode_preview(
+    anchors: jnp.ndarray,
+    subbands,
+    shape: Tuple[int, int],
+    levels: int,
+    upto: int,
+    predictor: Callable[[jnp.ndarray], jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Progressive decode: reconstruct only the coarsest ``upto`` levels.
+
+    Returns the 2**(levels-upto)-downsampled preview — exactly the full
+    reconstruction sampled at the preview lattice
+    (``preview[i, j] == full[i * s, j * s]`` with ``s = 2**(levels-upto)``),
+    because refinement levels never modify coarser-lattice pixels.  With a
+    subband-layout archive only the payload prefix up to level ``upto``
+    needs entropy decoding (utils.container.read_thgi_preview), making
+    preview cost proportional to preview area.  No reference counterpart
+    (the reference always reconstructs fully, decoder.rs:18-46).
+    """
+    if predictor is None:
+        predictor = cell_prediction
+    h, w = shape
+    levels = effective_levels(levels, h, w)
+    upto = max(0, min(int(upto), levels))
+    step = 1 << levels
+    hp = _cdiv(h, step) * step
+    wp = _cdiv(w, step) * step
+    coarse = anchors.astype(_U8)
+    for level in range(upto):
+        s1 = 1 << (levels - level - 1)
+        pred = predictor(coarse.astype(_I32))
+        masks = _quad_masks(pred.shape[-2], pred.shape[-1], s1, h, w, hp, wp)
+        recon_q = []
+        for g, mask in zip(subbands[level], masks):
+            r = (pred + g.astype(_I32)) & 255
+            if mask is not None:
+                r = jnp.where(mask, r, 0)
+            recon_q.append(r.astype(_U8))
+        coarse = _interleave4(coarse, *recon_q)
+    s = 1 << (levels - upto)
+    return coarse[..., : _cdiv(h, s), : _cdiv(w, s)]
 
 
 def assemble_grid(anchors: jnp.ndarray, subbands, shape: Tuple[int, int]):

@@ -47,6 +47,7 @@ __all__ = [
     "read_hgi",
     "write_thgi",
     "read_thgi",
+    "read_thgi_preview",
     "write_archive",
     "read_archive",
 ]
@@ -490,6 +491,75 @@ def read_thgi_subbands(data: bytes):
         raise ValueError("archive is not in subband layout")
     anchors, subbands = _slice_subbands(meta, raw, raw_size)
     return meta, anchors, subbands
+
+
+def read_thgi_preview(data: bytes, upto: int):
+    """Progressive read: entropy-decode only the payload prefix needed for
+    a level-``upto`` preview (see ops.pyramid.decode_preview).
+
+    Returns ``(metadata, anchors, subbands_prefix, upto)`` where ``upto``
+    is clamped to the archive's effective level count.  Subband-layout
+    archives decode only the prefix (cost proportional to preview area
+    for DEFLATE/rANS/ctx streams — all of them decode front-to-back);
+    row-major and bitpack archives fall back to a full decode + split.
+    """
+    (magic,) = struct.unpack_from("<I", data, 0)
+    if magic != THGI_MAGIC:
+        raise ValueError("incorrect magic number")
+    off = 4
+    meta = Metadata.unpack(data[off : off + _METADATA.size])
+    off += _METADATA.size
+    layout, tag, raw_size = struct.unpack_from("<BBQ", data, off)
+    off += struct.calcsize("<BBQ")
+    body = data[off:]
+
+    a_shape, q_shapes = subband_shapes(meta.height, meta.width, meta.scale_level)
+    upto = max(0, min(int(upto), len(q_shapes)))
+    need = a_shape[0] * a_shape[1] + 3 * sum(
+        h * w for h, w in q_shapes[:upto]
+    )
+
+    if layout != _LAYOUT_SUBBAND or tag == _CODEC_BITPACK:
+        archive = read_thgi(data)
+        anchors, subbands = split_grid_np(archive.grid, meta.scale_level)
+        return meta, anchors, subbands[:upto], upto
+
+    if tag == _CODEC_DEFLATE:
+        raw = zlib.decompressobj(-15).decompress(body, need)
+    elif tag == _CODEC_RANS:
+        from ..ops.entropy import rans_decode
+
+        raw = rans_decode(body, need)
+    elif tag == _CODEC_RANS_MT:
+        from ..ops.entropy import rans_decode
+
+        (len_a,) = struct.unpack_from("<Q", body, 0)
+        mid = raw_size // 2
+        raw = rans_decode(body[8 : 8 + len_a], min(need, mid))
+        if need > mid:
+            raw += rans_decode(body[8 + len_a :], need - mid)
+    elif tag == _CODEC_CTX:
+        from ..ops.ctxcoder import ctx_decode
+
+        pieces = _ctx_pieces(meta)[: 1 + 3 * upto]
+        raw = ctx_decode(body, pieces)
+    else:
+        raise ValueError(f"unknown entropy codec tag {tag}")
+    if len(raw) < need:
+        raise ValueError("truncated payload")
+
+    pos = 0
+
+    def take(shape):
+        nonlocal pos
+        n = shape[0] * shape[1]
+        arr = np.frombuffer(raw, np.uint8, count=n, offset=pos).reshape(shape)
+        pos += n
+        return arr
+
+    anchors = take(a_shape)
+    subbands = [tuple(take(s) for _ in range(3)) for s in q_shapes[:upto]]
+    return meta, anchors, subbands, upto
 
 
 def read_thgi(data: bytes) -> Archive:
