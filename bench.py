@@ -289,6 +289,42 @@ def main() -> int:
         entropy_speed["e2e_rans_mpix_s"] = W * H / t / 1e6
         log(f"e2e speed path (device encode + threaded rANS): "
             f"{entropy_speed['e2e_rans_mpix_s']:.0f} MPix/s")
+
+        # Fused fast path: encode + Pallas bit-pack in ONE device program;
+        # only packed bytes cross the link.
+        codec_m.write_fast(image)
+        t = min_time(lambda: codec_m.write_fast(image), iters=3)
+        entropy_speed["e2e_fast_mpix_s"] = W * H / t / 1e6
+        log(f"e2e fast path (fused device encode+bitpack): "
+            f"{entropy_speed['e2e_fast_mpix_s']:.0f} MPix/s")
+
+        # Host<->device link bandwidth: every e2e number above is bounded
+        # by this in the current environment (TPU behind a tunnel); on
+        # locally-attached hardware the link runs at PCIe/DMA rates and
+        # the e2e bottleneck moves back to the host entropy stage.
+        # Two-size slope cancels the dispatch RTT; a fresh device value is
+        # produced per fetch (jax caches host copies of unchanged arrays).
+        def d2h_time(size):
+            f = jax.jit(lambda s: jnp.zeros(size, jnp.uint8) ^ s)
+            np.asarray(f(jnp.uint8(1)))
+            return min_time(
+                lambda: np.asarray(f(jnp.uint8(np.random.randint(2, 200)))),
+                iters=3,
+            )
+
+        s1, s2 = 2 << 20, 16 << 20
+        entropy_speed["d2h_MBps"] = (s2 - s1) / (d2h_time(s2) - d2h_time(s1)) / 1e6
+
+        def h2d_time(size):
+            hbuf = np.ones(size, np.uint8)
+            jax.device_put(hbuf, dev).block_until_ready()
+            return min_time(
+                lambda: jax.device_put(hbuf, dev).block_until_ready(), iters=3
+            )
+
+        entropy_speed["h2d_MBps"] = (s2 - s1) / (h2d_time(s2) - h2d_time(s1)) / 1e6
+        log(f"host<->device link: D2H {entropy_speed['d2h_MBps']:.0f} MB/s, "
+            f"H2D {entropy_speed['h2d_MBps']:.0f} MB/s")
     except Exception as e:
         log(f"entropy/size check failed: {e}")
 

@@ -98,6 +98,12 @@ def cmd_encode(args) -> int:
     quant = QuantizationLevel.parse(args.quantizator)
     image = load_luma(args.input)
     codec = HGICodec(args.level, quant)
+    if args.format == "thgi" and args.fast and args.backend == "jax":
+        # One fused device program (encode + bit-pack); only the
+        # entropy-reduced bytes cross the host<->device link.
+        with open(args.output, "wb") as f:
+            f.write(codec.write_fast(image))
+        return 0
     grid = _make_grid(image, args.level, quant, args.backend)
     archive = Archive(codec.metadata_for(*image.shape), grid)
     with open(args.output, "wb") as f:

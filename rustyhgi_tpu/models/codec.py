@@ -152,6 +152,54 @@ class HGICodec:
             self._decode_cache[key] = fn
         return fn(anchors, subbands)
 
+    def write_fast(self, image) -> bytes:
+        """Fastest encode-to-archive: one fused device program.
+
+        Device encode + Pallas bit-pack run as a single jit (the residual
+        grid never round-trips to the host); the host only frames the
+        packed planes into a .thgi (rowmajor layout, bitpack codec) —
+        byte-identical to ``write_thgi(archive, fast=True)``.  This
+        matters wherever host<->device bandwidth bounds the pipeline:
+        only the entropy-reduced bytes cross the link.
+        """
+        import struct
+
+        from ..ops.pallas_kernels import finalize_packed
+        from ..utils.container import THGI_MAGIC, _CODEC_BITPACK, _LAYOUT_ROWMAJOR
+
+        image = jnp.asarray(image, dtype=jnp.uint8)
+        if image.ndim != 2:
+            raise ValueError(f"expected [H, W], got {image.shape}")
+        h, w = image.shape
+        key = ("fast",) + image.shape
+        fn = self._encode_cache.get(key)
+        if fn is None:
+            from ..ops.pallas_kernels import pack_blocks
+
+            levels, quant = self.levels, quantize_fn(self.quantization)
+            pred = self._predictor_fn
+
+            def fused(img):
+                grid, _ = pyramid.encode_plane(img, levels, quant, pred)
+                packed, widths, _ = pack_blocks(grid.reshape(-1))
+                return packed, widths
+
+            fn = jax.jit(fused)
+            self._encode_cache[key] = fn
+        packed, widths = fn(image)
+        from ..ops.pallas_kernels import BLOCK
+
+        nb = -(-(h * w) // BLOCK)
+        body = finalize_packed(np.asarray(packed), np.asarray(widths), nb, h * w)
+        return b"".join(
+            (
+                struct.pack("<I", THGI_MAGIC),
+                self.metadata_for(h, w).pack(),
+                struct.pack("<BBQ", _LAYOUT_ROWMAJOR, _CODEC_BITPACK, h * w),
+                body,
+            )
+        )
+
     def decode_preview(self, anchors, subbands, shape, upto: int):
         """Progressive decode: the 2**(levels-upto)-downsampled preview.
 

@@ -376,6 +376,11 @@ def write_thgi(
     subset of {"deflate", "rans", "rans_mt", "bitpack", "ctx"}; default
     tries everything the mode allows and keeps the smallest.
     """
+    if fast and "rowmajor" in layouts:
+        # Fast mode is throughput-over-size: one device bit-pack pass on
+        # one layout (row-major needs no host subband split), not a size
+        # race between two identically-coded layouts.
+        layouts = ("rowmajor",)
     allowed = None
     if codecs is not None:
         allowed = {_CODEC_NAMES[c] for c in codecs}

@@ -113,3 +113,32 @@ def test_cli_preview(tmp_path):
         pv = load_luma(str(out))
         assert pv.shape == (16, 12)
         assert np.array_equal(pv, img[::4, ::4])  # lossless: exact samples
+
+
+def test_write_fast_matches_slow_fast_path():
+    """Fused device encode+bitpack is byte-identical to the two-step path."""
+    from rustyhgi_tpu.utils.container import Archive, read_thgi, write_thgi
+
+    img = _image(61, 83, seed=2)
+    codec = HGICodec(4, "medium")
+    blob = codec.write_fast(img)
+    arch = Archive(
+        codec.metadata_for(61, 83), np.asarray(codec.encode_plane(img)[0])
+    )
+    assert blob == write_thgi(arch, fast=True)
+    assert np.array_equal(read_thgi(blob).grid, arch.grid)
+
+
+def test_cli_fast_encode(tmp_path):
+    from rustyhgi_tpu.cli import main
+    from rustyhgi_tpu.utils.imageio import save_gray, load_luma
+
+    img = _image(48, 64, seed=4)
+    src, arc, out = tmp_path / "s.png", tmp_path / "a.thgi", tmp_path / "o.png"
+    save_gray(str(src), img)
+    assert main([
+        "encode", "-i", str(src), "-o", str(arc),
+        "--format", "thgi", "--fast", "-q", "lossless",
+    ]) == 0
+    assert main(["decode", "-i", str(arc), "-o", str(out)]) == 0
+    assert np.array_equal(load_luma(str(out)), img)  # lossless roundtrip
