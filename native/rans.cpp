@@ -113,6 +113,21 @@ struct EncSym {
   uint8_t rcp_shift;
 };
 
+// Encode-path quotient q = xs / f (f == 1 intentionally yields xs - 1;
+// its bias absorbs the off-by-one — see build_enc_table).  The 32-bit
+// ceil reciprocal is exact only for xs < 2^31 (Alverson bound);
+// word-renorm states reach f << 18, which crosses 2^31 when f > 2^13 (a
+// >50%-probable symbol — the norm for quantized residual planes),
+// overshooting q by one for rare states.  One corrective step restores
+// q == xs / f exactly; no overflow (xs + f < 2^32 since
+// xs < f << 18 <= 2^32 - 2^18).  The f == 1 path is untouched
+// (q * 1 > xs is false).  The AVX-512 encode loop mirrors this fixup.
+inline uint32_t enc_quotient(uint32_t xs, const EncSym& e) {
+  uint32_t q = (uint32_t)(((uint64_t)xs * e.rcp_freq) >> 32) >> e.rcp_shift;
+  q -= (q * (kM - e.cmpl_freq) > xs);
+  return q;
+}
+
 void build_enc_table(const uint16_t* freq, const uint32_t* cum, EncSym* syms) {
   for (int s = 0; s < 256; ++s) {
     const uint32_t f = freq[s];
@@ -144,6 +159,20 @@ bool simd_disabled() {
 }  // namespace
 
 extern "C" {
+
+// Test hook: the encode-path quotient for one (state, freq) pair, through
+// the exact table construction and fixup the encoder uses.  Lets the test
+// suite verify q == x / f at the analytically-worst states (the Alverson
+// reciprocal's failure points above 2^31) without having to luck into
+// them through a full encode.
+uint32_t rans_encode_quotient(uint32_t x, uint32_t f) {
+  uint16_t freq[256] = {0};
+  uint32_t cum[257] = {0};
+  freq[0] = (uint16_t)f;
+  EncSym syms[256];
+  build_enc_table(freq, cum, syms);
+  return enc_quotient(x, syms[0]);
+}
 
 // Compute a raw byte histogram (u64[256]) — exposed so Python can build
 // shared tables from device-side psum'd histograms instead.
@@ -217,9 +246,7 @@ uint64_t rans_compress(const uint8_t* __restrict in, uint64_t n,
     p[-1] = (uint8_t)(xs >> 8);
     p -= 2 * ren;
     xs = ren ? xs >> 16 : xs;
-    const uint32_t q =
-        (uint32_t)(((uint64_t)xs * e.rcp_freq) >> 32) >> e.rcp_shift;
-    xs = xs + e.bias + q * e.cmpl_freq;
+    xs = xs + e.bias + enc_quotient(xs, e) * e.cmpl_freq;
   };
 
   uint64_t i = n;
@@ -283,7 +310,13 @@ uint64_t rans_compress(const uint8_t* __restrict in, uint64_t n,
       const __m512i mulhi_even = _mm512_srli_epi64(lo64, 32);
       const __m512i mulhi =
           _mm512_mask_mov_epi32(mulhi_even, (__mmask16)0xAAAA, hi64);
-      const __m512i q = _mm512_srlv_epi32(mulhi, sh);
+      __m512i q = _mm512_srlv_epi32(mulhi, sh);
+      // Same one-step overshoot fixup as the scalar path (see put()):
+      // the reciprocal estimate can exceed x / f by one for states
+      // >= 2^31 with f > 2^13.
+      const __mmask16 over = _mm512_cmp_epu32_mask(
+          _mm512_mullo_epi32(q, f), vx, _MM_CMPINT_NLE);
+      q = _mm512_mask_sub_epi32(q, over, q, _mm512_set1_epi32(1));
       vx = _mm512_add_epi32(
           _mm512_add_epi32(vx, bias), _mm512_mullo_epi32(q, cmpl));
     }

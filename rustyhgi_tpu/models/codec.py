@@ -162,10 +162,12 @@ class HGICodec:
         matters wherever host<->device bandwidth bounds the pipeline:
         only the entropy-reduced bytes cross the link.
         """
-        import struct
-
         from ..ops.pallas_kernels import finalize_packed
-        from ..utils.container import THGI_MAGIC, _CODEC_BITPACK, _LAYOUT_ROWMAJOR
+        from ..utils.container import (
+            _CODEC_BITPACK,
+            _LAYOUT_ROWMAJOR,
+            _thgi_frame,
+        )
 
         image = jnp.asarray(image, dtype=jnp.uint8)
         if image.ndim != 2:
@@ -191,13 +193,8 @@ class HGICodec:
 
         nb = -(-(h * w) // BLOCK)
         body = finalize_packed(np.asarray(packed), np.asarray(widths), nb, h * w)
-        return b"".join(
-            (
-                struct.pack("<I", THGI_MAGIC),
-                self.metadata_for(h, w).pack(),
-                struct.pack("<BBQ", _LAYOUT_ROWMAJOR, _CODEC_BITPACK, h * w),
-                body,
-            )
+        return _thgi_frame(
+            self.metadata_for(h, w), _LAYOUT_ROWMAJOR, _CODEC_BITPACK, h * w, body
         )
 
     def decode_preview(self, anchors, subbands, shape, upto: int):

@@ -310,25 +310,31 @@ def _rans_mt_decode(body: bytes, raw_size: int) -> bytes:
     return fa.result() + fb.result()
 
 
-def _entropy_candidates(raw: bytes, fast: bool = False):
+def _entropy_candidates(raw: bytes, fast: bool = False, allowed=None):
+    def keep(tag):
+        return allowed is None or tag in allowed
+
     if fast:
         # Device-side Pallas bit-plane pack: end-to-end encode cost is
         # device compute + transfer, no host entropy crunch.  Compression
         # is data-dependent (block-max widths suffer on heavy-tailed
         # residuals), hence explicit opt-in rather than a size candidate.
-        from ..ops.pallas_kernels import pack_bytes
+        if keep(_CODEC_BITPACK):
+            from ..ops.pallas_kernels import pack_bytes
 
-        yield _CODEC_BITPACK, pack_bytes(np.frombuffer(raw, np.uint8))
+            yield _CODEC_BITPACK, pack_bytes(np.frombuffer(raw, np.uint8))
         return
-    yield _CODEC_DEFLATE, _deflate_best(raw)
+    if keep(_CODEC_DEFLATE):
+        yield _CODEC_DEFLATE, _deflate_best(raw)
     try:
-        from ..ops.entropy import rans_encode
-
         if len(raw) >= _MT_THRESHOLD:
             # Large planes: two-chunk parallel coder (both halves walk
             # both host cores); ~520 B table overhead vs single-stream.
-            yield _CODEC_RANS_MT, _rans_mt_encode(raw)
-        else:
+            if keep(_CODEC_RANS_MT):
+                yield _CODEC_RANS_MT, _rans_mt_encode(raw)
+        elif keep(_CODEC_RANS):
+            from ..ops.entropy import rans_encode
+
             yield _CODEC_RANS, rans_encode(raw)
     except Exception:
         pass  # native entropy backend unavailable; DEFLATE always works
@@ -383,7 +389,13 @@ def write_thgi(
         layouts = ("rowmajor",)
     allowed = None
     if codecs is not None:
-        allowed = {_CODEC_NAMES[c] for c in codecs}
+        try:
+            allowed = {_CODEC_NAMES[c] for c in codecs}
+        except KeyError as e:
+            raise ValueError(
+                f"unknown codec {e.args[0]!r}; "
+                f"expected one of {sorted(_CODEC_NAMES)}"
+            ) from None
 
     def keep(tag):
         return allowed is None or tag in allowed
@@ -391,29 +403,48 @@ def write_thgi(
     candidates = []
     if "rowmajor" in layouts:
         raw = archive.grid.tobytes()
-        for tag, body in _entropy_candidates(raw, fast):
-            if keep(tag):
-                candidates.append((_LAYOUT_ROWMAJOR, tag, len(raw), body))
+        for tag, body in _entropy_candidates(raw, fast, allowed):
+            candidates.append((_LAYOUT_ROWMAJOR, tag, len(raw), body))
     if "subband" in layouts and archive.metadata.scale_level > 0:
         raw = _subband_payload(archive)
-        for tag, body in _entropy_candidates(raw, fast):
-            if keep(tag):
-                candidates.append((_LAYOUT_SUBBAND, tag, len(raw), body))
+        for tag, body in _entropy_candidates(raw, fast, allowed):
+            candidates.append((_LAYOUT_SUBBAND, tag, len(raw), body))
         if not fast and keep(_CODEC_CTX):
-            from ..ops.ctxcoder import ctx_encode
+            # By default the ctx candidate runs only with the native
+            # coder present: the pure-Python spec implementation is a
+            # correctness fallback (~0.1 MB/s), fine for reading archives
+            # but a silent multi-minute stall as a write-side size
+            # candidate.  An explicit codecs= request still forces it.
+            from ..ops.native import available as _native_available
 
-            body = ctx_encode(raw, _ctx_pieces(archive.metadata))
-            candidates.append((_LAYOUT_SUBBAND, _CODEC_CTX, len(raw), body))
+            if allowed is not None or _native_available():
+                from ..ops.ctxcoder import ctx_encode
+
+                body = ctx_encode(raw, _ctx_pieces(archive.metadata))
+                candidates.append(
+                    (_LAYOUT_SUBBAND, _CODEC_CTX, len(raw), body)
+                )
     if not candidates:
         raise ValueError(
             f"no valid candidates for layouts={layouts!r} codecs={codecs!r}"
         )
     layout, tag, raw_len, body = min(candidates, key=lambda c: len(c[3]))
+    return _thgi_frame(archive.metadata, layout, tag, raw_len, body)
+
+
+def _thgi_frame(
+    meta: Metadata, layout: int, codec: int, raw_size: int, body: bytes
+) -> bytes:
+    """Frame a .thgi container: header + entropy-coded body.
+
+    The single authority for the header layout — codec.write_fast and
+    write_thgi both emit through this.
+    """
     return b"".join(
         (
             struct.pack("<I", THGI_MAGIC),
-            archive.metadata.pack(),
-            struct.pack("<BBQ", layout, tag, raw_len),
+            meta.pack(),
+            struct.pack("<BBQ", layout, codec, raw_size),
             body,
         )
     )

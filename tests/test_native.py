@@ -131,3 +131,41 @@ def test_simd_scalar_bitstream_identity(rng):
     assert r.returncode == 0, r.stderr[-500:]
     scalar_digest = r.stdout.decode().strip()
     assert scalar_digest == __import__("hashlib").sha256(blob).hexdigest()
+
+
+def test_rans_encode_quotient_exact_at_reciprocal_failure_points():
+    """The Alverson 32-bit reciprocal overshoots q = x/f for rare states
+    >= 2^31 when f > 2^13 (majority symbol) — enough to corrupt archives.
+    Verify the encoder's fixup at the analytically-worst states of every
+    affected frequency (threshold x0 = 2^45 / (M*f - 2^45))."""
+    import ctypes
+
+    from rustyhgi_tpu.ops import native as nat
+
+    lib = nat._load()
+    if lib is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    lib.rans_encode_quotient.argtypes = [ctypes.c_uint32, ctypes.c_uint32]
+    lib.rans_encode_quotient.restype = ctypes.c_uint32
+    checked = 0
+    for f in range(8193, 16384, 7):  # sampled sweep; full range is slow
+        K = 45
+        M = ((1 << K) + f - 1) // f
+        e = M * f - (1 << K)
+        if e == 0:
+            continue
+        x0 = (1 << K) // e
+        x_max = (4 << 16) * f
+        if x0 >= x_max:
+            continue
+        start = (x0 // f) * f - 1
+        for x in [start + k * f for k in range(4)] + [((x_max - 1) // f) * f - 1]:
+            if x < f or x >= x_max:
+                continue
+            assert lib.rans_encode_quotient(x, f) == x // f, (f, x)
+            checked += 1
+    # the pair that produced the first observed corruption
+    assert lib.rans_encode_quotient(3162365739, 14347) == 3162365739 // 14347
+    assert checked > 500
