@@ -116,6 +116,11 @@ class Archive:
             )
 
 
+def _deflate_one(payload: bytes, strategy: int) -> bytes:
+    co = zlib.compressobj(9, zlib.DEFLATED, -15, 9, strategy)
+    return co.compress(payload) + co.flush()
+
+
 def _deflate_best(payload: bytes) -> bytes:
     # Raw DEFLATE, max effort, no zlib/gzip framing — stream-compatible
     # with flate2::Compression::best()'s DeflateEncoder (archive.rs:36-38);
@@ -123,13 +128,13 @@ def _deflate_best(payload: bytes) -> bytes:
     # biases toward shorter-match/literal coding and measures 1-4.5%
     # smaller on HGI residual planes; emit the smaller of the two
     # (deterministic: both strategies are deterministic at fixed settings).
-    best = None
-    for strategy in (zlib.Z_FILTERED, zlib.Z_DEFAULT_STRATEGY):
-        co = zlib.compressobj(9, zlib.DEFLATED, -15, 9, strategy)
-        blob = co.compress(payload) + co.flush()
-        if best is None or len(blob) < len(best):
-            best = blob
-    return best
+    return min(
+        (
+            _deflate_one(payload, zlib.Z_FILTERED),
+            _deflate_one(payload, zlib.Z_DEFAULT_STRATEGY),
+        ),
+        key=len,
+    )
 
 
 def _inflate_raw(payload: bytes) -> bytes:
@@ -269,6 +274,19 @@ def _subband_payload(archive: Archive) -> bytes:
 
 _MT_THRESHOLD = 1 << 20  # chunked-parallel rANS pays off above ~1 MB
 _MT_POOL = None
+_CANDIDATE_POOL = None
+
+
+def _candidate_pool():
+    # Pool for racing write_thgi's entropy candidates; distinct from the
+    # rANS-MT chunk pool so a candidate that itself uses that pool
+    # cannot deadlock it.
+    global _CANDIDATE_POOL
+    if _CANDIDATE_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _CANDIDATE_POOL = ThreadPoolExecutor(4)
+    return _CANDIDATE_POOL
 
 
 def _mt_pool():
@@ -310,10 +328,20 @@ def _rans_mt_decode(body: bytes, raw_size: int) -> bytes:
     return fa.result() + fb.result()
 
 
-def _entropy_candidates(raw: bytes, fast: bool = False, allowed=None):
+def _entropy_candidate_jobs(raw: bytes, fast: bool = False, allowed=None):
+    """(codec tag, thunk) candidates for one payload.
+
+    Thunks are pure and GIL-releasing (zlib, the native coders via
+    ctypes, device dispatch), so the writer races them on a thread pool;
+    a thunk that raises (e.g. the native backend is absent) just drops
+    its candidate.  DEFLATE's two strategies are separate jobs so the
+    slowest stage parallelizes too.
+    """
+
     def keep(tag):
         return allowed is None or tag in allowed
 
+    jobs = []
     if fast:
         # Device-side Pallas bit-plane pack: end-to-end encode cost is
         # device compute + transfer, no host entropy crunch.  Compression
@@ -322,22 +350,37 @@ def _entropy_candidates(raw: bytes, fast: bool = False, allowed=None):
         if keep(_CODEC_BITPACK):
             from ..ops.pallas_kernels import pack_bytes
 
-            yield _CODEC_BITPACK, pack_bytes(np.frombuffer(raw, np.uint8))
-        return
+            jobs.append(
+                (
+                    _CODEC_BITPACK,
+                    lambda: pack_bytes(np.frombuffer(raw, np.uint8)),
+                )
+            )
+        return jobs
     if keep(_CODEC_DEFLATE):
-        yield _CODEC_DEFLATE, _deflate_best(raw)
-    try:
-        if len(raw) >= _MT_THRESHOLD:
-            # Large planes: two-chunk parallel coder (both halves walk
-            # both host cores); ~520 B table overhead vs single-stream.
-            if keep(_CODEC_RANS_MT):
-                yield _CODEC_RANS_MT, _rans_mt_encode(raw)
-        elif keep(_CODEC_RANS):
+        jobs.append(
+            (_CODEC_DEFLATE, lambda: _deflate_one(raw, zlib.Z_FILTERED))
+        )
+        jobs.append(
+            (
+                _CODEC_DEFLATE,
+                lambda: _deflate_one(raw, zlib.Z_DEFAULT_STRATEGY),
+            )
+        )
+    if len(raw) >= _MT_THRESHOLD:
+        # Large planes: two-chunk parallel coder (both halves walk
+        # both host cores); ~520 B table overhead vs single-stream.
+        if keep(_CODEC_RANS_MT):
+            jobs.append((_CODEC_RANS_MT, lambda: _rans_mt_encode(raw)))
+    elif keep(_CODEC_RANS):
+
+        def _rans():
             from ..ops.entropy import rans_encode
 
-            yield _CODEC_RANS, rans_encode(raw)
-    except Exception:
-        pass  # native entropy backend unavailable; DEFLATE always works
+            return rans_encode(raw)
+
+        jobs.append((_CODEC_RANS, _rans))
+    return jobs
 
 
 def _ctx_pieces(meta: Metadata):
@@ -400,15 +443,15 @@ def write_thgi(
     def keep(tag):
         return allowed is None or tag in allowed
 
-    candidates = []
+    jobs = []  # (layout, tag, raw_len, thunk)
     if "rowmajor" in layouts:
         raw = archive.grid.tobytes()
-        for tag, body in _entropy_candidates(raw, fast, allowed):
-            candidates.append((_LAYOUT_ROWMAJOR, tag, len(raw), body))
+        for tag, fn in _entropy_candidate_jobs(raw, fast, allowed):
+            jobs.append((_LAYOUT_ROWMAJOR, tag, len(raw), fn))
     if "subband" in layouts and archive.metadata.scale_level > 0:
         raw = _subband_payload(archive)
-        for tag, body in _entropy_candidates(raw, fast, allowed):
-            candidates.append((_LAYOUT_SUBBAND, tag, len(raw), body))
+        for tag, fn in _entropy_candidate_jobs(raw, fast, allowed):
+            jobs.append((_LAYOUT_SUBBAND, tag, len(raw), fn))
         if not fast and keep(_CODEC_CTX):
             # By default the ctx candidate runs only with the native
             # coder present: the pure-Python spec implementation is a
@@ -420,10 +463,35 @@ def write_thgi(
             if allowed is not None or _native_available():
                 from ..ops.ctxcoder import ctx_encode
 
-                body = ctx_encode(raw, _ctx_pieces(archive.metadata))
-                candidates.append(
-                    (_LAYOUT_SUBBAND, _CODEC_CTX, len(raw), body)
+                pieces = _ctx_pieces(archive.metadata)
+                jobs.append(
+                    (
+                        _LAYOUT_SUBBAND,
+                        _CODEC_CTX,
+                        len(raw),
+                        lambda: ctx_encode(raw, pieces),
+                    )
                 )
+
+    # Race the candidates on a pool (distinct from the rANS-MT chunk pool
+    # so nested submission cannot deadlock); every coder releases the GIL.
+    candidates = []
+    if len(jobs) > 1:
+        futures = [
+            (layout, tag, raw_len, _candidate_pool().submit(fn))
+            for layout, tag, raw_len, fn in jobs
+        ]
+        for layout, tag, raw_len, fut in futures:
+            try:
+                candidates.append((layout, tag, raw_len, fut.result()))
+            except Exception:
+                pass  # backend unavailable; other candidates still race
+    else:
+        for layout, tag, raw_len, fn in jobs:
+            try:
+                candidates.append((layout, tag, raw_len, fn()))
+            except Exception:
+                pass
     if not candidates:
         raise ValueError(
             f"no valid candidates for layouts={layouts!r} codecs={codecs!r}"
