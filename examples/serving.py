@@ -1,4 +1,4 @@
-"""Worked examples: the four production usage patterns.
+"""Worked examples: the six production usage patterns.
 
 Run on CPU (JAX_PLATFORMS=cpu) or TPU; every section is self-contained.
 
@@ -51,7 +51,24 @@ def main():
     grid, _ = serve_encode(image)
     print(f"artifact: {len(enc_artifact)} bytes; grid {np.asarray(grid).shape}")
 
-    section("4. Batched data-parallel encode over all devices")
+    section("4. Progressive preview (prefix decode)")
+    from rustyhgi_tpu.utils.container import read_thgi_preview
+
+    meta, anchors_pv, sub_pv, upto = read_thgi_preview(blob, 2)
+    pv = np.asarray(
+        codec.decode_preview(anchors_pv, sub_pv, (meta.height, meta.width), upto)
+    )
+    s = 1 << (meta.scale_level - upto)
+    print(f"level-{upto} preview {pv.shape} == full[::{s}, ::{s}]:",
+          np.array_equal(pv, decoded[::s, ::s]))
+
+    section("5. Fastest encode-to-archive (fused device encode + bit-pack)")
+    fast_blob = codec.write_fast(image)
+    fast_back = hgi.read_archive(fast_blob)
+    print(f"write_fast: {len(fast_blob)} bytes; grid matches:",
+          np.array_equal(fast_back.grid, archive.grid))
+
+    section("6. Batched data-parallel encode over all devices")
     from rustyhgi_tpu.parallel import (
         encode_batch_sharded, make_mesh, pad_batch, tile_plane, untile_plane,
     )
