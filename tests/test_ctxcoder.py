@@ -120,3 +120,27 @@ def test_ctx_encode_decode_helpers_agree():
     enc = ctx_encode(payload, pieces)
     assert ctx_decode(enc, pieces) == payload
     assert py_ctx_decode(enc, pieces) == payload
+
+
+def test_malformed_streams_no_crash_and_backend_consistent():
+    """Garbage/truncated ctx streams must decode (to deterministic garbage,
+    like the reference's checksum-free container) without crashing, and the
+    Python and native decoders must agree byte-for-byte even then."""
+    native = pytest.importorskip("rustyhgi_tpu.ops.native")
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(3)
+    pieces = [(4, 6, 0), (2, 3, 1), (2, 3, 1), (2, 3, 1)]
+    n = sum(h * w for h, w, _ in pieces)
+    for _ in range(25):
+        blob = rng.integers(0, 256, int(rng.integers(0, 60)), dtype=np.uint8)
+        blob = blob.tobytes()
+        a = py_ctx_decode(blob, pieces)
+        b = native.native_ctx_decompress(blob, pieces)
+        assert len(a) == n and a == b
+    payload = rng.integers(0, 5, n, dtype=np.uint8).tobytes()
+    enc = py_ctx_encode(payload, pieces)
+    for cut in (0, 1, len(enc) // 2, len(enc) - 1):
+        assert py_ctx_decode(enc[:cut], pieces) == native.native_ctx_decompress(
+            enc[:cut], pieces
+        )
