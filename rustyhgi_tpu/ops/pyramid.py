@@ -339,29 +339,11 @@ def decode_subbands(
     levels: int,
     predictor: Callable[[jnp.ndarray], jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Decode subband layout back to the image plane (crop to ``shape``)."""
-    if predictor is None:
-        predictor = cell_prediction
-    h, w = shape
-    levels = effective_levels(levels, h, w)
-    if levels == 0:
-        return anchors[..., :h, :w]
-    step = 1 << levels
-    hp = _cdiv(h, step) * step
-    wp = _cdiv(w, step) * step
-    coarse = anchors.astype(_U8)
-    for level in range(levels):
-        s1 = 1 << (levels - level - 1)
-        pred = predictor(coarse.astype(_I32))
-        masks = _quad_masks(pred.shape[-2], pred.shape[-1], s1, h, w, hp, wp)
-        recon_q = []
-        for g, mask in zip(subbands[level], masks):
-            r = (pred + g.astype(_I32)) & 255
-            if mask is not None:
-                r = jnp.where(mask, r, 0)
-            recon_q.append(r.astype(_U8))
-        coarse = _interleave4(coarse, *recon_q)
-    return coarse[..., :h, :w]
+    """Decode subband layout back to the image plane (crop to ``shape``).
+
+    The full decode is :func:`decode_preview` carried through every level.
+    """
+    return decode_preview(anchors, subbands, shape, levels, levels, predictor)
 
 
 def decode_preview(

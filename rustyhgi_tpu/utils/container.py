@@ -358,15 +358,10 @@ def _entropy_candidate_jobs(raw: bytes, fast: bool = False, allowed=None):
             )
         return jobs
     if keep(_CODEC_DEFLATE):
-        jobs.append(
-            (_CODEC_DEFLATE, lambda: _deflate_one(raw, zlib.Z_FILTERED))
-        )
-        jobs.append(
-            (
-                _CODEC_DEFLATE,
-                lambda: _deflate_one(raw, zlib.Z_DEFAULT_STRATEGY),
+        for strategy in (zlib.Z_FILTERED, zlib.Z_DEFAULT_STRATEGY):
+            jobs.append(
+                (_CODEC_DEFLATE, lambda s=strategy: _deflate_one(raw, s))
             )
-        )
     if len(raw) >= _MT_THRESHOLD:
         # Large planes: two-chunk parallel coder (both halves walk
         # both host cores); ~520 B table overhead vs single-stream.
@@ -476,22 +471,15 @@ def write_thgi(
     # Race the candidates on a pool (distinct from the rANS-MT chunk pool
     # so nested submission cannot deadlock); every coder releases the GIL.
     candidates = []
-    if len(jobs) > 1:
-        futures = [
-            (layout, tag, raw_len, _candidate_pool().submit(fn))
-            for layout, tag, raw_len, fn in jobs
-        ]
-        for layout, tag, raw_len, fut in futures:
-            try:
-                candidates.append((layout, tag, raw_len, fut.result()))
-            except Exception:
-                pass  # backend unavailable; other candidates still race
-    else:
-        for layout, tag, raw_len, fn in jobs:
-            try:
-                candidates.append((layout, tag, raw_len, fn()))
-            except Exception:
-                pass
+    futures = [
+        (layout, tag, raw_len, _candidate_pool().submit(fn))
+        for layout, tag, raw_len, fn in jobs
+    ]
+    for layout, tag, raw_len, fut in futures:
+        try:
+            candidates.append((layout, tag, raw_len, fut.result()))
+        except Exception:
+            pass  # backend unavailable; other candidates still race
     if not candidates:
         raise ValueError(
             f"no valid candidates for layouts={layouts!r} codecs={codecs!r}"
@@ -518,6 +506,19 @@ def _thgi_frame(
     )
 
 
+def _parse_thgi_header(data: bytes):
+    """Parse a .thgi header -> (metadata, layout, codec tag, raw_size, body)."""
+    (magic,) = struct.unpack_from("<I", data, 0)
+    if magic != THGI_MAGIC:
+        raise ValueError("incorrect magic number")
+    off = 4
+    meta = Metadata.unpack(data[off : off + _METADATA.size])
+    off += _METADATA.size
+    layout, tag, raw_size = struct.unpack_from("<BBQ", data, off)
+    off += struct.calcsize("<BBQ")
+    return meta, layout, tag, raw_size, data[off:]
+
+
 def read_thgi_payload(data: bytes):
     """Parse a .thgi container to ``(metadata, layout, raw_payload, raw_size)``.
 
@@ -527,15 +528,7 @@ def read_thgi_payload(data: bytes):
     into arrays without the row-major assembly, enabling the device's
     direct subband decode.
     """
-    (magic,) = struct.unpack_from("<I", data, 0)
-    if magic != THGI_MAGIC:
-        raise ValueError("incorrect magic number")
-    off = 4
-    meta = Metadata.unpack(data[off : off + _METADATA.size])
-    off += _METADATA.size
-    layout, tag, raw_size = struct.unpack_from("<BBQ", data, off)
-    off += struct.calcsize("<BBQ")
-    body = data[off:]
+    meta, layout, tag, raw_size, body = _parse_thgi_header(data)
     if tag == _CODEC_DEFLATE:
         raw = _inflate_raw(body)
     elif tag == _CODEC_RANS:
@@ -561,13 +554,20 @@ def read_thgi_payload(data: bytes):
     return meta, layout, raw, raw_size
 
 
-def _slice_subbands(meta: Metadata, raw: bytes, raw_size: int):
+def _slice_subbands(meta: Metadata, raw: bytes, raw_size: int, upto=None):
+    """Slice a subband payload into (anchors, subbands[:upto]).
+
+    ``upto=None`` means all levels and validates the full payload size;
+    an explicit ``upto`` slices just the prefix (progressive decode).
+    """
     a_shape, q_shapes = subband_shapes(meta.height, meta.width, meta.scale_level)
-    expected = a_shape[0] * a_shape[1] + 3 * sum(h * w for h, w in q_shapes)
-    if raw_size != expected:
-        raise ValueError(
-            f"subband payload size {raw_size} != expected {expected}"
-        )
+    if upto is None:
+        expected = a_shape[0] * a_shape[1] + 3 * sum(h * w for h, w in q_shapes)
+        if raw_size != expected:
+            raise ValueError(
+                f"subband payload size {raw_size} != expected {expected}"
+            )
+        upto = len(q_shapes)
     pos = 0
 
     def take(shape):
@@ -578,7 +578,7 @@ def _slice_subbands(meta: Metadata, raw: bytes, raw_size: int):
         return arr
 
     anchors = take(a_shape)
-    subbands = [tuple(take(s) for _ in range(3)) for s in q_shapes]
+    subbands = [tuple(take(s) for _ in range(3)) for s in q_shapes[:upto]]
     return anchors, subbands
 
 
@@ -607,15 +607,7 @@ def read_thgi_preview(data: bytes, upto: int):
     for DEFLATE/rANS/ctx streams — all of them decode front-to-back);
     row-major and bitpack archives fall back to a full decode + split.
     """
-    (magic,) = struct.unpack_from("<I", data, 0)
-    if magic != THGI_MAGIC:
-        raise ValueError("incorrect magic number")
-    off = 4
-    meta = Metadata.unpack(data[off : off + _METADATA.size])
-    off += _METADATA.size
-    layout, tag, raw_size = struct.unpack_from("<BBQ", data, off)
-    off += struct.calcsize("<BBQ")
-    body = data[off:]
+    meta, layout, tag, raw_size, body = _parse_thgi_header(data)
 
     a_shape, q_shapes = subband_shapes(meta.height, meta.width, meta.scale_level)
     upto = max(0, min(int(upto), len(q_shapes)))
@@ -652,17 +644,7 @@ def read_thgi_preview(data: bytes, upto: int):
     if len(raw) < need:
         raise ValueError("truncated payload")
 
-    pos = 0
-
-    def take(shape):
-        nonlocal pos
-        n = shape[0] * shape[1]
-        arr = np.frombuffer(raw, np.uint8, count=n, offset=pos).reshape(shape)
-        pos += n
-        return arr
-
-    anchors = take(a_shape)
-    subbands = [tuple(take(s) for _ in range(3)) for s in q_shapes[:upto]]
+    anchors, subbands = _slice_subbands(meta, raw, need, upto=upto)
     return meta, anchors, subbands, upto
 
 
