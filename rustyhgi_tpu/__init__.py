@@ -29,6 +29,7 @@ from .ops.quantizers import (
     linear_table,
     quantize_fn,
 )
+from .utils.color import decode_color, encode_color
 from .utils.container import (
     Archive,
     Interpolation,
@@ -55,6 +56,8 @@ __all__ = [
     "read_hgi",
     "read_thgi",
     "read_thgi_preview",
+    "encode_color",
+    "decode_color",
     "write_archive",
     "write_hgi",
     "write_thgi",

@@ -55,6 +55,13 @@ def _add_encoding_options(p: argparse.ArgumentParser) -> None:
         help="thgi only: device-side Pallas bit-pack entropy stage "
         "(throughput over size; no host entropy crunch)",
     )
+    p.add_argument(
+        "--color",
+        action="store_true",
+        help="keep RGB (3 planes in one .thgic container; lossless uses a "
+        "reversible green-delta transform) instead of the reference's "
+        "luma conversion",
+    )
 
 
 def _make_grid(image: np.ndarray, levels: int, quant, backend: str):
@@ -96,6 +103,14 @@ def _serialize(archive: Archive, args) -> bytes:
 
 def cmd_encode(args) -> int:
     quant = QuantizationLevel.parse(args.quantizator)
+    if getattr(args, "color", False):
+        from .utils.color import encode_color, load_rgb
+
+        codec = HGICodec(args.level, quant)
+        blob = encode_color(codec, load_rgb(args.input), fmt=args.format)
+        with open(args.output, "wb") as f:
+            f.write(blob)
+        return 0
     image = load_luma(args.input)
     codec = HGICodec(args.level, quant)
     if args.format == "thgi" and args.fast and args.backend == "jax":
@@ -116,6 +131,13 @@ def cmd_decode(args) -> int:
 
     with open(args.input, "rb") as f:
         data = f.read()
+    import struct as _struct2
+
+    if _struct2.unpack_from("<I", data, 0)[0] == 0x7C61_A555:  # .thgic color
+        from .utils.color import decode_color, save_rgb
+
+        save_rgb(args.output, decode_color(data))
+        return 0
     if getattr(args, "preview", None) is not None:
         # Progressive decode: reconstruct only the coarsest N levels ->
         # a 2**(levels-N)-downsampled preview.  Subband .thgi archives
