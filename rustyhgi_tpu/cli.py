@@ -134,26 +134,20 @@ def cmd_decode(args) -> int:
     import struct as _struct2
 
     if _struct2.unpack_from("<I", data, 0)[0] == 0x7C61_A555:  # .thgic color
-        from .utils.color import decode_color, save_rgb
+        from .utils.color import decode_color, decode_color_preview, save_rgb
 
-        save_rgb(args.output, decode_color(data))
+        if getattr(args, "preview", None) is not None:
+            save_rgb(args.output, decode_color_preview(data, args.preview))
+        else:
+            save_rgb(args.output, decode_color(data))
         return 0
     if getattr(args, "preview", None) is not None:
         # Progressive decode: reconstruct only the coarsest N levels ->
         # a 2**(levels-N)-downsampled preview.  Subband .thgi archives
         # entropy-decode only the payload prefix.
-        from .utils.container import HGI_MAGIC, read_thgi_preview, split_grid_np
-        import struct as _struct
+        from .utils.container import read_preview
 
-        (magic,) = _struct.unpack_from("<I", data, 0)
-        if magic == HGI_MAGIC:
-            archive = read_archive(data)
-            meta = archive.metadata
-            anchors, subbands = split_grid_np(archive.grid, meta.scale_level)
-            upto = max(0, min(args.preview, len(subbands)))
-            subbands = subbands[:upto]
-        else:
-            meta, anchors, subbands, upto = read_thgi_preview(data, args.preview)
+        meta, anchors, subbands, upto = read_preview(data, args.preview)
         codec = HGICodec(meta.scale_level)
         preview = np.asarray(
             codec.decode_preview(

@@ -121,11 +121,7 @@ def encode_color(codec, rgb: np.ndarray, fmt: str = "thgi") -> bytes:
     )
 
 
-def decode_color(data: bytes) -> np.ndarray:
-    """Decode a .thgic container back to uint8 [H, W, 3] RGB."""
-    from .container import read_archive
-    from ..models.codec import HGICodec
-
+def _split_thgic(data: bytes):
     magic, n_planes, transform = struct.unpack_from("<IBB", data, 0)
     if magic != THGIC_MAGIC:
         raise ValueError("incorrect magic number")
@@ -134,14 +130,49 @@ def decode_color(data: bytes) -> np.ndarray:
             f"unsupported .thgic: planes={n_planes} transform={transform}"
         )
     off = 6
-    archives = []
+    blobs = []
     for _ in range(n_planes):
         (blen,) = struct.unpack_from("<Q", data, off)
         off += 8
-        archives.append(read_archive(data[off : off + blen]))
+        blobs.append(data[off : off + blen])
         off += blen
+    return transform, blobs
+
+
+def decode_color(data: bytes) -> np.ndarray:
+    """Decode a .thgic container back to uint8 [H, W, 3] RGB."""
+    from .container import read_archive
+    from ..models.codec import HGICodec
+
+    transform, blobs = _split_thgic(data)
+    archives = [read_archive(b) for b in blobs]
     meta = archives[0].metadata
     codec = HGICodec(meta.scale_level)
     grids = np.stack([a.grid for a in archives])
     planes = np.asarray(codec.decode_plane(grids))
     return np.moveaxis(_inverse(planes, transform), 0, 2)
+
+
+def decode_color_preview(data: bytes, upto: int) -> np.ndarray:
+    """Progressive color decode -> uint8 [h, w, 3] downsampled preview.
+
+    The green-delta transform is per-pixel, so it commutes with lattice
+    sampling: per-plane previews invert to exactly the full color
+    reconstruction sampled at the preview lattice.
+    """
+    from .container import read_preview
+    from ..models.codec import HGICodec
+
+    transform, blobs = _split_thgic(data)
+    planes = []
+    for blob in blobs:
+        meta, anchors, subbands, eff = read_preview(blob, upto)
+        codec = HGICodec(meta.scale_level)
+        planes.append(
+            np.asarray(
+                codec.decode_preview(
+                    anchors, subbands, (meta.height, meta.width), eff
+                )
+            )
+        )
+    return np.moveaxis(_inverse(np.stack(planes), transform), 0, 2)

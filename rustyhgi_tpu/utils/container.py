@@ -648,6 +648,23 @@ def read_thgi_preview(data: bytes, upto: int):
     return meta, anchors, subbands, upto
 
 
+def read_preview(data: bytes, upto: int):
+    """Magic-dispatching preview read for single-plane archives.
+
+    `.thgi` archives go through :func:`read_thgi_preview` (prefix
+    entropy decode); `.hgi` archives fall back to a full read + host
+    split.  Returns ``(metadata, anchors, subbands_prefix, upto)``.
+    """
+    (magic,) = struct.unpack_from("<I", data, 0)
+    if magic == THGI_MAGIC:
+        return read_thgi_preview(data, upto)
+    archive = read_hgi(data)
+    meta = archive.metadata
+    anchors, subbands = split_grid_np(archive.grid, meta.scale_level)
+    upto = max(0, min(int(upto), len(subbands)))
+    return meta, anchors, subbands[:upto], upto
+
+
 def read_thgi(data: bytes) -> Archive:
     """Parse a .thgi container into an :class:`Archive` (any layout)."""
     meta, layout, raw, raw_size = read_thgi_payload(data)

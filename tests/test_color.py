@@ -67,3 +67,31 @@ def test_cli_color_roundtrip(tmp_path):
 def test_bad_thgic_rejected():
     with pytest.raises(ValueError):
         decode_color(b"\x00\x00\x00\x00\x03\x00")
+
+
+def test_color_preview_equals_sampled_full():
+    from rustyhgi_tpu.utils.color import decode_color_preview
+
+    rgb = _rgb(64, 80, seed=13)
+    codec = HGICodec(3, "lossless")
+    blob = encode_color(codec, rgb)
+    full = decode_color(blob)
+    for upto in (0, 1, 2, 3):
+        s = 1 << (3 - upto)
+        pv = decode_color_preview(blob, upto)
+        assert np.array_equal(pv, full[::s, ::s, :]), upto
+
+
+def test_cli_color_preview(tmp_path):
+    from rustyhgi_tpu.cli import main
+    from rustyhgi_tpu.utils.color import load_rgb, save_rgb
+
+    rgb = _rgb(48, 64, seed=14)
+    src, arc, out = tmp_path / "c.png", tmp_path / "c.thgic", tmp_path / "p.png"
+    save_rgb(str(src), rgb)
+    assert main([
+        "encode", "-i", str(src), "-o", str(arc), "--color", "-q", "lossless",
+        "--format", "thgi", "-l", "4",
+    ]) == 0
+    assert main(["decode", "-i", str(arc), "-o", str(out), "--preview", "2"]) == 0
+    assert np.array_equal(load_rgb(str(out)), rgb[::4, ::4, :])
