@@ -1,4 +1,4 @@
-"""Worked examples: the six production usage patterns.
+"""Worked examples: the seven production usage patterns.
 
 Run on CPU (JAX_PLATFORMS=cpu) or TPU; every section is self-contained.
 
@@ -68,7 +68,15 @@ def main():
     print(f"write_fast: {len(fast_blob)} bytes; grid matches:",
           np.array_equal(fast_back.grid, archive.grid))
 
-    section("6. Batched data-parallel encode over all devices")
+    section("6. Color (RGB) encode with reversible green-delta transform")
+    from rustyhgi_tpu.utils.color import decode_color, encode_color
+
+    rgb = np.stack([image, image // 2 + 7, image // 3 + 11], axis=2)
+    cblob = encode_color(hgi.HGICodec(4, "lossless"), rgb)
+    print(f"{rgb.shape} -> {len(cblob)} bytes; lossless exact:",
+          np.array_equal(decode_color(cblob), rgb))
+
+    section("7. Batched data-parallel encode over all devices")
     from rustyhgi_tpu.parallel import (
         encode_batch_sharded, make_mesh, pad_batch, tile_plane, untile_plane,
     )
