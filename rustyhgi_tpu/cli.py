@@ -131,9 +131,9 @@ def cmd_decode(args) -> int:
 
     with open(args.input, "rb") as f:
         data = f.read()
-    import struct as _struct2
+    from .utils.container import _magic
 
-    if _struct2.unpack_from("<I", data, 0)[0] == 0x7C61_A555:  # .thgic color
+    if _magic(data) == 0x7C61_A555:  # .thgic color
         from .utils.color import decode_color, decode_color_preview, save_rgb
 
         if getattr(args, "preview", None) is not None:

@@ -122,6 +122,8 @@ def encode_color(codec, rgb: np.ndarray, fmt: str = "thgi") -> bytes:
 
 
 def _split_thgic(data: bytes):
+    if len(data) < 6:
+        raise ValueError("truncated archive")
     magic, n_planes, transform = struct.unpack_from("<IBB", data, 0)
     if magic != THGIC_MAGIC:
         raise ValueError("incorrect magic number")
@@ -132,8 +134,12 @@ def _split_thgic(data: bytes):
     off = 6
     blobs = []
     for _ in range(n_planes):
+        if off + 8 > len(data):
+            raise ValueError("truncated archive")
         (blen,) = struct.unpack_from("<Q", data, off)
         off += 8
+        if off + blen > len(data):
+            raise ValueError("truncated archive")
         blobs.append(data[off : off + blen])
         off += blen
     return transform, blobs

@@ -164,9 +164,16 @@ def write_hgi(archive: Archive) -> bytes:
     )
 
 
+
+def _magic(data: bytes) -> int:
+    """Leading u32 magic of an archive; ValueError (not struct.error) when short."""
+    if len(data) < 4:
+        raise ValueError("truncated archive")
+    return struct.unpack_from("<I", data, 0)[0]
+
 def read_hgi(data: bytes) -> Archive:
     """Parse a .hgi archive (archive.rs:43-55)."""
-    (magic,) = struct.unpack_from("<I", data, 0)
+    magic = _magic(data)
     if magic != HGI_MAGIC:
         raise ValueError("incorrect magic number")  # archive.rs:48
     meta = Metadata.unpack(data[4 : 4 + _METADATA.size])
@@ -508,12 +515,14 @@ def _thgi_frame(
 
 def _parse_thgi_header(data: bytes):
     """Parse a .thgi header -> (metadata, layout, codec tag, raw_size, body)."""
-    (magic,) = struct.unpack_from("<I", data, 0)
+    magic = _magic(data)
     if magic != THGI_MAGIC:
         raise ValueError("incorrect magic number")
     off = 4
     meta = Metadata.unpack(data[off : off + _METADATA.size])
     off += _METADATA.size
+    if len(data) < off + struct.calcsize("<BBQ"):
+        raise ValueError("truncated archive")
     layout, tag, raw_size = struct.unpack_from("<BBQ", data, off)
     off += struct.calcsize("<BBQ")
     return meta, layout, tag, raw_size, data[off:]
@@ -655,7 +664,7 @@ def read_preview(data: bytes, upto: int):
     entropy decode); `.hgi` archives fall back to a full read + host
     split.  Returns ``(metadata, anchors, subbands_prefix, upto)``.
     """
-    (magic,) = struct.unpack_from("<I", data, 0)
+    magic = _magic(data)
     if magic == THGI_MAGIC:
         return read_thgi_preview(data, upto)
     archive = read_hgi(data)
@@ -695,7 +704,7 @@ def write_archive(archive: Archive, fmt: str = "hgi") -> bytes:
 
 def read_archive(data: bytes) -> Archive:
     """Auto-detect container format from the magic."""
-    (magic,) = struct.unpack_from("<I", data, 0)
+    magic = _magic(data)
     if magic == HGI_MAGIC:
         return read_hgi(data)
     if magic == THGI_MAGIC:

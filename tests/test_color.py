@@ -95,3 +95,42 @@ def test_cli_color_preview(tmp_path):
     ]) == 0
     assert main(["decode", "-i", str(arc), "-o", str(out), "--preview", "2"]) == 0
     assert np.array_equal(load_rgb(str(out)), rgb[::4, ::4, :])
+
+
+def test_reader_fuzz_clean_errors():
+    """Truncated/garbage inputs to every reader raise ValueError (or
+    zlib.error from a corrupt DEFLATE body) — never struct.error or a
+    crash."""
+    import zlib
+
+    from rustyhgi_tpu.utils.color import decode_color_preview
+    from rustyhgi_tpu.utils.container import (
+        read_archive,
+        read_preview,
+        write_hgi,
+        write_thgi,
+    )
+
+    rgb = _rgb(32, 48, seed=21)
+    cblob = encode_color(HGICodec(2, "lossless"), rgb)
+    gray = HGICodec(2, "medium").encode(rgb[:, :, 0])
+    tblob, hblob = write_thgi(gray), write_hgi(gray)
+    rng = np.random.default_rng(22)
+    for trial in range(12):
+        for base in (cblob, tblob, hblob):
+            if trial % 2:
+                data = base[: int(rng.integers(0, len(base)))]
+            else:
+                data = rng.integers(
+                    0, 256, int(rng.integers(0, 40)), dtype=np.uint8
+                ).tobytes()
+            for fn in (
+                decode_color,
+                lambda d: decode_color_preview(d, 1),
+                read_archive,
+                lambda d: read_preview(d, 1),
+            ):
+                try:
+                    fn(data)
+                except (ValueError, zlib.error):
+                    pass
