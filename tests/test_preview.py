@@ -142,3 +142,46 @@ def test_cli_fast_encode(tmp_path):
     ]) == 0
     assert main(["decode", "-i", str(arc), "-o", str(out)]) == 0
     assert np.array_equal(load_luma(str(out)), img)  # lossless roundtrip
+
+
+@pytest.mark.parametrize("levels", [6, 8])
+def test_deep_level_preview(levels):
+    """Previews at depths where 2^levels exceeds the image dimension."""
+    img = _image(40, 56, seed=15)
+    q = quantize_fn(QuantizationLevel.LOSSLESS)
+    anchors, subbands, _ = pyramid.encode_subbands(img, levels, q)
+    eff = len(subbands)  # effective levels after the dimension clamp
+    full = np.asarray(
+        pyramid.decode_subbands(anchors, subbands, (40, 56), levels)
+    )
+    assert np.array_equal(full, img)
+    for upto in (0, 1, eff):
+        s = 1 << (eff - upto)
+        pv = np.asarray(
+            pyramid.decode_preview(anchors, subbands[:upto], (40, 56), levels, upto)
+        )
+        assert np.array_equal(pv, full[::s, ::s])
+
+
+def test_left_top_predictor_preview():
+    """Previews hold for the LeftTop predictor too (bench-only in the
+    reference, library-reachable here)."""
+    from rustyhgi_tpu.ops.predictors import cell_prediction_left_top
+
+    img = _image(48, 48, seed=16)
+    q = quantize_fn(QuantizationLevel.MEDIUM)
+    anchors, subbands, _ = pyramid.encode_subbands(
+        img, 3, q, predictor=cell_prediction_left_top
+    )
+    full = np.asarray(
+        pyramid.decode_subbands(
+            anchors, subbands, (48, 48), 3, predictor=cell_prediction_left_top
+        )
+    )
+    pv = np.asarray(
+        pyramid.decode_preview(
+            anchors, subbands[:1], (48, 48), 3, 1,
+            predictor=cell_prediction_left_top,
+        )
+    )
+    assert np.array_equal(pv, full[::4, ::4])
