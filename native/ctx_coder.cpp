@@ -19,7 +19,7 @@ namespace {
 
 constexpr uint32_t kProbBits = 12;
 constexpr uint16_t kProbInit = 1u << (kProbBits - 1);
-constexpr uint32_t kAdaptShift = 5;
+
 constexpr uint32_t kTop = 1u << 24;
 constexpr uint32_t kBot = 1u << 16;
 constexpr uint32_t kGroups = 5;
@@ -56,9 +56,11 @@ struct Encoder {
   uint32_t range = 0xFFFFFFFFu;
   uint8_t* out;
   uint64_t pos = 0, cap;
+  uint32_t shift;
   bool overflow = false;
 
-  Encoder(uint8_t* o, uint64_t c) : out(o), cap(c) {}
+  Encoder(uint8_t* o, uint64_t c, uint32_t adapt_shift)
+      : out(o), cap(c), shift(adapt_shift) {}
 
   inline void emit() {
     if (pos < cap)
@@ -89,11 +91,11 @@ struct Encoder {
     uint32_t bound = (range >> kProbBits) * p;
     if (bit == 0) {
       range = bound;
-      probs[idx] = static_cast<uint16_t>(p + (((1u << kProbBits) - p) >> kAdaptShift));
+      probs[idx] = static_cast<uint16_t>(p + (((1u << kProbBits) - p) >> shift));
     } else {
       low += bound;
       range -= bound;
-      probs[idx] = static_cast<uint16_t>(p - (p >> kAdaptShift));
+      probs[idx] = static_cast<uint16_t>(p - (p >> shift));
     }
     renorm();
   }
@@ -118,8 +120,10 @@ struct Decoder {
   uint32_t code = 0;
   const uint8_t* in;
   uint64_t pos = 0, len;
+  uint32_t shift;
 
-  Decoder(const uint8_t* i, uint64_t l) : in(i), len(l) {
+  Decoder(const uint8_t* i, uint64_t l, uint32_t adapt_shift)
+      : in(i), len(l), shift(adapt_shift) {
     for (int k = 0; k < 4; ++k) code = (code << 8) | next();
   }
 
@@ -146,12 +150,12 @@ struct Decoder {
     if (code - low < bound) {
       bit = 0;
       range = bound;
-      probs[idx] = static_cast<uint16_t>(p + (((1u << kProbBits) - p) >> kAdaptShift));
+      probs[idx] = static_cast<uint16_t>(p + (((1u << kProbBits) - p) >> shift));
     } else {
       bit = 1;
       low += bound;
       range -= bound;
-      probs[idx] = static_cast<uint16_t>(p - (p >> kAdaptShift));
+      probs[idx] = static_cast<uint16_t>(p - (p >> shift));
     }
     renorm();
     return bit;
@@ -176,9 +180,10 @@ uint64_t ctx_worst_size(uint64_t n) {
 
 // Returns the compressed size, or 0 if `cap` was insufficient.
 uint64_t ctx_compress(const uint8_t* payload, uint64_t n_pieces,
-                      const uint32_t* pieces, uint8_t* out, uint64_t cap) {
+                      const uint32_t* pieces, uint8_t* out, uint64_t cap,
+                      uint32_t adapt_shift) {
   Models models;
-  Encoder enc(out, cap);
+  Encoder enc(out, cap, adapt_shift);
   const uint8_t* plane = payload;
   std::vector<uint16_t> prev_z;
   for (uint64_t pi = 0; pi < n_pieces; ++pi) {
@@ -211,9 +216,10 @@ uint64_t ctx_compress(const uint8_t* payload, uint64_t n_pieces,
 }
 
 int ctx_decompress(const uint8_t* src, uint64_t src_len, uint64_t n_pieces,
-                   const uint32_t* pieces, uint8_t* out_payload) {
+                   const uint32_t* pieces, uint8_t* out_payload,
+                   uint32_t adapt_shift) {
   Models models;
-  Decoder dec(src, src_len);
+  Decoder dec(src, src_len, adapt_shift);
   uint8_t* plane = out_payload;
   std::vector<uint16_t> prev_z;
   for (uint64_t pi = 0; pi < n_pieces; ++pi) {

@@ -4,7 +4,7 @@ The reference's only entropy stage is one order-0-blind DEFLATE stream
 (reference: src/archive.rs:36-38).  Static order-0 rANS (ops/entropy.py)
 matches DEFLATE on smooth images but loses on detailed ones, because
 neither exploits the *structure* of HGI residuals: magnitudes cluster
-spatially and per pyramid level.  This coder does, with measured 5-11%
+spatially and per pyramid level.  This coder does, with measured 3-17%
 smaller archives than the best of {DEFLATE-9, rANS} on the reference's
 own test images:
 
@@ -12,7 +12,10 @@ own test images:
   them to small magnitudes so bit-tree contexts see magnitude structure;
 * **bit-tree coding** — each zigzag byte is 8 binary decisions down an
   adaptive 255-node probability tree (no frequency tables transmitted —
-  probabilities adapt online with shift-5 updates, 12-bit precision);
+  probabilities adapt online, 12-bit precision).  The adaptation shift
+  is a codec parameter derived from archive metadata: 4 (fast) for
+  lossy presets whose residual statistics drift with content, 5 for
+  lossless (measured optimum; lossy archives shrink a further ~5%);
 * **2D activity contexts** — each byte's tree is selected by
   (pyramid-level group, activity bucket), where activity = zigzag(left)
   + zigzag(up) within the same subband piece.  Quiet neighborhoods
@@ -55,7 +58,7 @@ __all__ = [
 
 _PROB_BITS = 12
 _PROB_INIT = 1 << (_PROB_BITS - 1)  # 2048
-_ADAPT_SHIFT = 5
+_ADAPT_SHIFT = 5  # default; lossy archives use 4 (see container.py)
 _TOP = 1 << 24
 _N_GROUPS = 5  # anchors + 4 level groups (deep levels clamp to the last)
 _N_ACT = 5  # activity buckets
@@ -104,9 +107,10 @@ _BOT = 1 << 16
 class _Encoder:
     """Carryless binary range encoder (Subbotin-style, 32-bit)."""
 
-    def __init__(self) -> None:
+    def __init__(self, adapt_shift: int = _ADAPT_SHIFT) -> None:
         self.low = 0
         self.range = _MASK
+        self.shift = adapt_shift
         self.out = bytearray()
 
     def _renorm(self) -> None:
@@ -129,11 +133,11 @@ class _Encoder:
         bound = (self.range >> _PROB_BITS) * p
         if bit == 0:
             self.range = bound
-            probs[idx] = p + (((1 << _PROB_BITS) - p) >> _ADAPT_SHIFT)
+            probs[idx] = p + (((1 << _PROB_BITS) - p) >> self.shift)
         else:
             self.low = (self.low + bound) & _MASK
             self.range -= bound
-            probs[idx] = p - (p >> _ADAPT_SHIFT)
+            probs[idx] = p - (p >> self.shift)
         self._renorm()
 
     def flush(self) -> bytes:
@@ -144,11 +148,12 @@ class _Encoder:
 
 
 class _Decoder:
-    def __init__(self, data: bytes) -> None:
+    def __init__(self, data: bytes, adapt_shift: int = _ADAPT_SHIFT) -> None:
         self.data = data
         self.pos = 0
         self.low = 0
         self.range = _MASK
+        self.shift = adapt_shift
         self.code = 0
         for _ in range(4):
             self.code = (self.code << 8) | self._byte()
@@ -176,12 +181,12 @@ class _Decoder:
         if ((self.code - self.low) & _MASK) < bound:
             bit = 0
             self.range = bound
-            probs[idx] = p + (((1 << _PROB_BITS) - p) >> _ADAPT_SHIFT)
+            probs[idx] = p + (((1 << _PROB_BITS) - p) >> self.shift)
         else:
             bit = 1
             self.low = (self.low + bound) & _MASK
             self.range -= bound
-            probs[idx] = p - (p >> _ADAPT_SHIFT)
+            probs[idx] = p - (p >> self.shift)
         self._renorm()
         return bit
 
@@ -208,11 +213,13 @@ def _tree_decode(dec: _Decoder, model: np.ndarray) -> int:
 
 
 def py_ctx_encode(
-    payload: bytes, pieces: Sequence[Tuple[int, int, int]]
+    payload: bytes,
+    pieces: Sequence[Tuple[int, int, int]],
+    adapt_shift: int = _ADAPT_SHIFT,
 ) -> bytes:
     """Encode a concatenated subband payload (pure-Python specification)."""
     models = _new_models()
-    enc = _Encoder()
+    enc = _Encoder(adapt_shift)
     src = np.frombuffer(payload, dtype=np.uint8)
     pos = 0
     for h, w, group in pieces:
@@ -243,11 +250,13 @@ def py_ctx_encode(
 
 
 def py_ctx_decode(
-    data: bytes, pieces: Sequence[Tuple[int, int, int]]
+    data: bytes,
+    pieces: Sequence[Tuple[int, int, int]],
+    adapt_shift: int = _ADAPT_SHIFT,
 ) -> bytes:
     """Decode back to the concatenated subband payload."""
     models = _new_models()
-    dec = _Decoder(data)
+    dec = _Decoder(data, adapt_shift)
     total = sum(h * w for h, w, _ in pieces)
     out = np.empty(total, dtype=np.uint8)
     pos = 0
@@ -276,28 +285,32 @@ def py_ctx_decode(
 
 
 def ctx_encode(
-    payload: bytes, pieces: Sequence[Tuple[int, int, int]]
+    payload: bytes,
+    pieces: Sequence[Tuple[int, int, int]],
+    adapt_shift: int = _ADAPT_SHIFT,
 ) -> bytes:
     """Context-coder encode; prefers the native backend."""
     try:
         from .native import available, native_ctx_compress
 
         if available():
-            return native_ctx_compress(payload, pieces)
+            return native_ctx_compress(payload, pieces, adapt_shift)
     except Exception:
         pass
-    return py_ctx_encode(payload, pieces)
+    return py_ctx_encode(payload, pieces, adapt_shift)
 
 
 def ctx_decode(
-    data: bytes, pieces: Sequence[Tuple[int, int, int]]
+    data: bytes,
+    pieces: Sequence[Tuple[int, int, int]],
+    adapt_shift: int = _ADAPT_SHIFT,
 ) -> bytes:
     """Context-coder decode; prefers the native backend."""
     try:
         from .native import available, native_ctx_decompress
 
         if available():
-            return native_ctx_decompress(data, pieces)
+            return native_ctx_decompress(data, pieces, adapt_shift)
     except Exception:
         pass
-    return py_ctx_decode(data, pieces)
+    return py_ctx_decode(data, pieces, adapt_shift)

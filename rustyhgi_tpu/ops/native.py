@@ -84,11 +84,13 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.ctx_worst_size.argtypes = [ctypes.c_uint64]
         lib.ctx_worst_size.restype = ctypes.c_uint64
         lib.ctx_compress.argtypes = [
-            u8p, ctypes.c_uint64, u32p, u8p, ctypes.c_uint64
+            u8p, ctypes.c_uint64, u32p, u8p, ctypes.c_uint64,
+            ctypes.c_uint32,
         ]
         lib.ctx_compress.restype = ctypes.c_uint64
         lib.ctx_decompress.argtypes = [
-            u8p, ctypes.c_uint64, ctypes.c_uint64, u32p, u8p
+            u8p, ctypes.c_uint64, ctypes.c_uint64, u32p, u8p,
+            ctypes.c_uint32,
         ]
         lib.ctx_decompress.restype = ctypes.c_int
         _lib = lib
@@ -176,7 +178,7 @@ def _piece_array(pieces) -> np.ndarray:
     return arr
 
 
-def native_ctx_compress(payload: bytes, pieces) -> bytes:
+def native_ctx_compress(payload: bytes, pieces, adapt_shift: int = 5) -> bytes:
     """Context-adaptive coder encode (see ops/ctxcoder.py for the spec)."""
     lib = _load()
     if lib is None:
@@ -192,6 +194,7 @@ def native_ctx_compress(payload: bytes, pieces) -> bytes:
             tab.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
             _u8ptr(out),
             cap,
+            int(adapt_shift),
         )
     )
     if n == 0:
@@ -199,7 +202,7 @@ def native_ctx_compress(payload: bytes, pieces) -> bytes:
     return out[:n].tobytes()
 
 
-def native_ctx_decompress(data: bytes, pieces) -> bytes:
+def native_ctx_decompress(data: bytes, pieces, adapt_shift: int = 5) -> bytes:
     lib = _load()
     if lib is None:
         raise RuntimeError("native library unavailable")
@@ -214,6 +217,7 @@ def native_ctx_decompress(data: bytes, pieces) -> bytes:
             tab.shape[0],
             tab.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
             _u8ptr(out),
+            int(adapt_shift),
         )
     )
     if rc != 0:
