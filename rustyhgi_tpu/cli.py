@@ -56,6 +56,13 @@ def _add_encoding_options(p: argparse.ArgumentParser) -> None:
         "(throughput over size; no host entropy crunch)",
     )
     p.add_argument(
+        "--predictor",
+        choices=("crossed", "left_top"),
+        default="crossed",
+        help="interpolation predictor (tagged in the archive; decode "
+        "honors the tag)",
+    )
+    p.add_argument(
         "--color",
         action="store_true",
         help="keep RGB (3 planes in one .thgic container; lossless uses a "
@@ -64,31 +71,49 @@ def _add_encoding_options(p: argparse.ArgumentParser) -> None:
     )
 
 
-def _make_grid(image: np.ndarray, levels: int, quant, backend: str):
+def _make_grid(
+    image: np.ndarray, levels: int, quant, backend: str,
+    predictor: str = "crossed",
+):
     if backend == "jax":
-        grid, _ = HGICodec(levels, quant).encode_plane(image)
+        grid, _ = HGICodec(
+            levels, quant, predictor=predictor
+        ).encode_plane(image)
         return np.asarray(grid)
     if backend == "oracle":
         from .oracle import oracle_encode
 
-        return oracle_encode(image, levels, quant)
+        return oracle_encode(image, levels, quant, predictor=predictor)
     if backend == "native":
+        if predictor != "crossed":
+            from .oracle import oracle_encode
+
+            return oracle_encode(image, levels, quant, predictor=predictor)
         from .ops.native import native_encode
 
         return native_encode(image, levels, quant)
     raise ValueError(backend)
 
 
-def _decode_grid(grid: np.ndarray, levels: int, backend: str) -> np.ndarray:
+def _decode_grid(
+    grid: np.ndarray, levels: int, backend: str, predictor: str = "crossed"
+) -> np.ndarray:
     if backend == "jax":
-        return np.asarray(HGICodec(levels).decode_plane(grid))
+        return np.asarray(
+            HGICodec(levels, predictor=predictor).decode_plane(grid)
+        )
     if backend == "oracle":
         from .oracle import oracle_decode
 
-        return oracle_decode(grid, levels)
+        return oracle_decode(grid, levels, predictor=predictor)
     if backend == "native":
         from .ops.native import native_decode
 
+        if predictor != "crossed":
+            # The scalar C++ twin implements Crossed only; fall back.
+            from .oracle import oracle_decode
+
+            return oracle_decode(grid, levels, predictor=predictor)
         return native_decode(grid, levels)
     raise ValueError(backend)
 
@@ -106,20 +131,22 @@ def cmd_encode(args) -> int:
     if getattr(args, "color", False):
         from .utils.color import encode_color, load_rgb
 
-        codec = HGICodec(args.level, quant)
+        codec = HGICodec(args.level, quant, predictor=args.predictor)
         blob = encode_color(codec, load_rgb(args.input), fmt=args.format)
         with open(args.output, "wb") as f:
             f.write(blob)
         return 0
     image = load_luma(args.input)
-    codec = HGICodec(args.level, quant)
+    codec = HGICodec(args.level, quant, predictor=args.predictor)
     if args.format == "thgi" and args.fast and args.backend == "jax":
         # One fused device program (encode + bit-pack); only the
         # entropy-reduced bytes cross the host<->device link.
         with open(args.output, "wb") as f:
             f.write(codec.write_fast(image))
         return 0
-    grid = _make_grid(image, args.level, quant, args.backend)
+    grid = _make_grid(
+        image, args.level, quant, args.backend, predictor=args.predictor
+    )
     archive = Archive(codec.metadata_for(*image.shape), grid)
     with open(args.output, "wb") as f:
         f.write(_serialize(archive, args))
@@ -141,6 +168,8 @@ def cmd_decode(args) -> int:
         else:
             save_rgb(args.output, decode_color(data))
         return 0
+    from .ops.predictors import predictor_name_for_tag
+
     if getattr(args, "preview", None) is not None:
         # Progressive decode: reconstruct only the coarsest N levels ->
         # a 2**(levels-N)-downsampled preview.  Subband .thgi archives
@@ -148,7 +177,10 @@ def cmd_decode(args) -> int:
         from .utils.container import read_preview
 
         meta, anchors, subbands, upto = read_preview(data, args.preview)
-        codec = HGICodec(meta.scale_level)
+        codec = HGICodec(
+            meta.scale_level,
+            predictor=predictor_name_for_tag(meta.interpolation),
+        )
         preview = np.asarray(
             codec.decode_preview(
                 anchors, subbands, (meta.height, meta.width), upto
@@ -163,7 +195,10 @@ def cmd_decode(args) -> int:
             from .utils.container import read_thgi_subbands
 
             meta, anchors, subbands = read_thgi_subbands(data)
-            codec = HGICodec(meta.scale_level)
+            codec = HGICodec(
+                meta.scale_level,
+                predictor=predictor_name_for_tag(meta.interpolation),
+            )
             image = np.asarray(
                 codec.decode_subbands(
                     anchors, subbands, (meta.height, meta.width)
@@ -175,7 +210,10 @@ def cmd_decode(args) -> int:
             pass  # not a subband .thgi; fall through to the grid path
     archive = read_archive(data)
     image = _decode_grid(
-        archive.grid, archive.metadata.scale_level, args.backend
+        archive.grid,
+        archive.metadata.scale_level,
+        args.backend,
+        predictor=predictor_name_for_tag(archive.metadata.interpolation),
     )
     save_gray(args.output, image)
     return 0
@@ -185,8 +223,10 @@ def cmd_test(args) -> int:
     # Mirrors main.rs:73-120: roundtrip, print metrics, write .png + archive.
     quant = QuantizationLevel.parse(args.quantizator)
     image = load_luma(args.input)
-    codec = HGICodec(args.level, quant)
-    grid = _make_grid(image, args.level, quant, args.backend)
+    codec = HGICodec(args.level, quant, predictor=args.predictor)
+    grid = _make_grid(
+        image, args.level, quant, args.backend, predictor=args.predictor
+    )
     decoded = _decode_grid(grid, args.level, args.backend)
     archive = Archive(codec.metadata_for(*image.shape), grid)
     blob = write_archive(archive, args.format)
@@ -288,7 +328,10 @@ def cmd_encode_tiled(args) -> int:
     # errors before surfacing (per-tile work is idempotent).
     for attempt in (1, 2):
         try:
-            grids, _, _ = encode_batch_sharded(padded, args.level, quant, mesh=mesh)
+            grids, _, _ = encode_batch_sharded(
+                padded, args.level, quant, mesh=mesh,
+                predictor=args.predictor,
+            )
             grids_host = np.asarray(grids)[: remaining.shape[0]]
             break
         except Exception as e:
@@ -296,7 +339,7 @@ def cmd_encode_tiled(args) -> int:
                 raise
             print(f"encode attempt failed ({e}); retrying", file=_sys.stderr)
 
-    codec = HGICodec(args.level, quant)
+    codec = HGICodec(args.level, quant, predictor=args.predictor)
     with open(args.output, mode) as f:
         if mode == "wb":
             f.write(struct.pack("<IIIII", 0x7161A555, args.tile, w, h, n_tiles))
@@ -323,8 +366,10 @@ def cmd_decode_tiled(args) -> int:
     magic, tile, width, height, n = struct.unpack_from("<IIIII", data, 0)
     if magic != 0x7161A555:
         raise ValueError("incorrect magic number")
+    from .ops.predictors import predictor_name_for_tag
+
     off = 20
-    grids, levels = [], None
+    grids, levels, interp = [], None, 0
     for _ in range(n):
         (blen,) = struct.unpack_from("<Q", data, off)
         off += 8
@@ -332,16 +377,17 @@ def cmd_decode_tiled(args) -> int:
         off += blen
         grids.append(archive.grid)
         levels = archive.metadata.scale_level
-    codec = HGICodec(levels)
+        interp = archive.metadata.interpolation
+    codec = HGICodec(levels, predictor=predictor_name_for_tag(interp))
     tiles = np.asarray(codec.decode_plane(np.stack(grids)))
     save_gray(args.output, untile_plane(tiles, (height, width)))
     return 0
 
 
 def cmd_bench(args) -> int:
-    from .utils.benchsuite import format_suite, run_suite
+    from .utils.benchsuite import format_suite, run_suite_stats
 
-    results = run_suite(batch=args.batch)
+    results = run_suite_stats(batch=args.batch, samples=args.samples)
     print(format_suite(results))
     return 0
 
@@ -417,6 +463,12 @@ def main(argv=None) -> int:
         help="benchmark suite mirroring the reference's criterion benches",
     )
     p.add_argument("--batch", type=int, default=8)
+    p.add_argument(
+        "--samples",
+        type=int,
+        default=25,
+        help="timing samples per bench (criterion sample_size parity)",
+    )
     p.set_defaults(fn=cmd_bench)
 
     args = parser.parse_args(argv)

@@ -65,6 +65,7 @@ class HGICodec:
         levels: int = 4,
         quantization: QuantizationLevel | str = QuantizationLevel.MEDIUM,
         predictor: str = "crossed",
+        quantizer: str = "linear",
     ):
         if isinstance(quantization, str):
             quantization = QuantizationLevel.parse(quantization)
@@ -73,16 +74,21 @@ class HGICodec:
         self.levels = int(levels)
         self.quantization = quantization
         self.predictor = predictor
+        self.quantizer = quantizer
+        quantize_fn(quantization, quantizer)  # validate strategy eagerly
         self._predictor_fn = predictor_fn(predictor)
         self._encode_cache: Dict[Tuple[int, int], jax.stages.Wrapped] = {}
         self._decode_cache: Dict[Tuple[int, int], jax.stages.Wrapped] = {}
+
+    def _quantize_fn(self):
+        return quantize_fn(self.quantization, self.quantizer)
 
     # -- device compute path ------------------------------------------------
 
     def _encode_fn(self, shape: Tuple[int, int]):
         fn = self._encode_cache.get(shape)
         if fn is None:
-            levels, quant = self.levels, quantize_fn(self.quantization)
+            levels, quant = self.levels, self._quantize_fn()
             pred = self._predictor_fn
             fn = jax.jit(
                 lambda img: pyramid.encode_plane(img, levels, quant, pred)
@@ -132,7 +138,7 @@ class HGICodec:
         key = ("sb",) + image.shape
         fn = self._encode_cache.get(key)
         if fn is None:
-            levels, quant = self.levels, quantize_fn(self.quantization)
+            levels, quant = self.levels, self._quantize_fn()
             pred = self._predictor_fn
             fn = jax.jit(
                 lambda img: pyramid.encode_subbands(img, levels, quant, pred)
@@ -178,7 +184,7 @@ class HGICodec:
         if fn is None:
             from ..ops.pallas_kernels import pack_blocks
 
-            levels, quant = self.levels, quantize_fn(self.quantization)
+            levels, quant = self.levels, self._quantize_fn()
             pred = self._predictor_fn
 
             def fused(img):
@@ -274,14 +280,21 @@ class HGICodec:
 
         Like the reference (main.rs:63-71), decode needs only the grid,
         width/height, and scale_level; the quantizer is encode-side only.
+        The archive's interpolation tag is honored — a left_top-encoded
+        archive reconstructs with left_top (the reference hardcodes
+        Crossed on decode, main.rs:67, which silently garbles its own
+        LeftTop archives; this framework decodes by tag).
         """
-        if archive.metadata.scale_level != self.levels:
+        from ..ops.predictors import predictor_name_for_tag
+
+        pred = predictor_name_for_tag(archive.metadata.interpolation)
+        if archive.metadata.scale_level != self.levels or pred != self.predictor:
             decoder = HGICodec(
                 archive.metadata.scale_level,
                 self.quantization,
-                predictor=self.predictor,
+                predictor=pred,
             )
-            return decoder.decode(archive)
+            return np.asarray(decoder.decode_plane(archive.grid))
         return np.asarray(self.decode_plane(archive.grid))
 
     def test(self, image: np.ndarray, fmt: str = "hgi") -> CodecMetrics:

@@ -206,14 +206,26 @@ def finalize_packed(
     )
 
 
-def expand_packed(data: bytes) -> Tuple[np.ndarray, int]:
+def expand_packed(data: bytes, expected_n: int = None) -> Tuple[np.ndarray, int]:
     """Inverse of :func:`finalize_packed`: re-expand to fixed-capacity
     blocks (zero-filled absent planes), padded to the kernel chunk size.
 
+    ``expected_n`` (when given) is the caller's header-derived stream
+    size: the embedded counts must match it exactly, so a hostile body
+    cannot declare its own allocation size (bomb guard).
+
     Returns (expanded [nbp, 8, 128] u8, n).
     """
+    if len(data) < 8:
+        raise ValueError("truncated bitpack stream")
     n = int.from_bytes(data[0:4], "little")
     nb = int.from_bytes(data[4:8], "little")
+    if expected_n is not None and n != expected_n:
+        raise ValueError(
+            f"bitpack stream size {n} does not match declared {expected_n}"
+        )
+    if nb != -(-n // BLOCK):
+        raise ValueError("bitpack block count does not match stream size")
     nnib = (nb + 1) // 2
     nibbles = np.frombuffer(data, np.uint8, count=nnib, offset=8)
     widths = np.empty(2 * nnib, np.uint8)
@@ -244,9 +256,9 @@ def pack_bytes(flat_u8) -> bytes:
     )
 
 
-def unpack_bytes(data: bytes) -> np.ndarray:
+def unpack_bytes(data: bytes, expected_n: int = None) -> np.ndarray:
     """Inverse of :func:`pack_bytes` -> uint8 [n] array."""
-    expanded, n = expand_packed(data)
+    expanded, n = expand_packed(data, expected_n=expected_n)
     if n == 0:
         return np.zeros(0, np.uint8)
     flat = unpack_blocks(jnp.asarray(expanded))

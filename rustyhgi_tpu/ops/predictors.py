@@ -76,3 +76,17 @@ def predictor_fn(name: str):
 
 def predictor_tag(name: str) -> int:
     return _TAGS[name.lower()]
+
+
+def predictor_name_for_tag(tag: int) -> str:
+    """Resolve a container interpolation tag to a predictor name.
+
+    CROSSED decodes with crossed, PREVIOUS with left_top (the tag this
+    framework writes for left_top archives — see _TAGS above).  LINE has
+    no implementation in the reference either (interpolator.rs:4-9 names
+    it, nothing implements it); the reference decodes everything with
+    Crossed (main.rs:67), so LINE falls back to crossed here too.
+    """
+    if tag == Interpolation.PREVIOUS:
+        return "left_top"
+    return "crossed"

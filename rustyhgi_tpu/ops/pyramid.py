@@ -68,6 +68,20 @@ _U16 = jnp.uint16
 _I32 = jnp.int32
 
 
+def _is_identity(quantize) -> bool:
+    """True when the quantizer is statically known to be the identity.
+
+    Drives the lossless fast path (skip quantize + overflow fixup; recon
+    == source).  Quantizers opt out via ``identity = False`` even when
+    their error bound is 0 (the LUT quantizer benches the table-gather
+    cost, so it must run through the closed loop).
+    """
+    ident = getattr(quantize, "identity", None)
+    if ident is not None:
+        return bool(ident)
+    return getattr(quantize, "error", None) == 0
+
+
 def cell_prediction(coarse: jnp.ndarray) -> jnp.ndarray:
     """Crossed prediction for every cell of a packed coarse lattice.
 
@@ -271,9 +285,11 @@ def encode_subbands(
     Lossless (error==0) takes a structurally different path: since the
     reconstruction equals the source exactly, every level predicts from
     the pyramid's own source lattice and the recon interleave chain
-    disappears entirely; XLA then fuses the whole encode into ~2 HBM
-    passes (measured at the v5e HBM roof).  The emitted residuals are
-    bit-identical to the closed-loop form.
+    disappears entirely.  The emitted residuals are bit-identical to the
+    closed-loop form.  Note on perf: even this form is compute-bound on
+    v5e at ~10x above the 2-HBM-pass floor (see README roofline) — the
+    dyadic relayout ops dominate; the Pallas fused kernel
+    (ops.pallas_codec) exists to close that gap.
     """
     if predictor is None:
         predictor = cell_prediction
@@ -284,16 +300,16 @@ def encode_subbands(
     if levels == 0:
         return image, [], (image[..., :h, :w] if want_recon else None)
 
-    lossless = getattr(quantize, "error", None) == 0
+    lossless = _is_identity(quantize)
     coarse, quads, lattices = _quad_pyramid(image, levels)
     anchors = coarse
     if lossless:
         # Lossless fast path: reconstruction is exactly the source, so the
         # coarser lattice each level predicts from is the pyramid's own
         # source lattice — already computed by _quad_pyramid.  Skipping
-        # the recon interleave chain lets XLA fuse the whole encode into
-        # ~2 HBM passes (measured at the v5e HBM roof, ~10x the
-        # interleaving form).
+        # the recon interleave chain removes the whole closed-loop
+        # dependency chain (XLA fuses much more; still compute-bound at
+        # ~10x the 2-HBM-pass floor on v5e — see README roofline).
         subbands = []
         for level in range(levels):
             pred = predictor(lattices[levels - level].astype(_I32))

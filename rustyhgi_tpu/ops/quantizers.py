@@ -30,6 +30,9 @@ __all__ = [
     "linear_quantize",
     "noop_quantize",
     "quantize_fn",
+    "LinearQuantizer",
+    "NoOpQuantizer",
+    "LUTQuantizer",
 ]
 
 
@@ -140,15 +143,89 @@ class LinearQuantizer:
         q = ((diff + self.error) * self._mult) >> self._shift
         return (q * scale) & 255
 
+    @property
+    def identity(self) -> bool:
+        return self.error == 0
+
     def __repr__(self) -> str:
         return f"LinearQuantizer(error={self.error})"
 
 
-def quantize_fn(level: QuantizationLevel) -> LinearQuantizer:
+class NoOpQuantizer:
+    """NoOp quantizer strategy (quantizator.rs:17-34): identity, error 0.
+
+    Unlike ``Linear(Lossless)`` this never touches a table — the device
+    encode specializes it away entirely (``identity = True`` drives the
+    lossless fast path in ops.pyramid), exactly mirroring the reference's
+    NoOp-vs-Linear bench pairs which isolate LUT cost.
+    """
+
+    error = 0
+    identity = True
+
+    def __call__(self, diff):
+        return diff
+
+    def __repr__(self) -> str:
+        return "NoOpQuantizer()"
+
+
+class LUTQuantizer:
+    """Table-driven Linear quantizer: a real 256-entry gather per residual.
+
+    The faithful counterpart of the reference's ``Linear`` strategy
+    (quantizator.rs:36-73 materializes a 256-entry table and indexes it
+    per pixel).  Values are bit-identical to :class:`LinearQuantizer`;
+    only the mechanism differs (device table gather vs fused closed-form
+    multiply-shift).  ``identity = False`` always, so even the Lossless
+    LUT runs the full closed loop — this is what makes the benchmark
+    suite's ``*_quanted`` rows measure table-lookup cost against the
+    ``*_nop`` rows (benches/bench.rs:54-96).
+    """
+
+    identity = False
+
+    def __init__(self, error: int):
+        self.error = int(error)
+        scale = 2 * self.error + 1
+        x = np.arange(256, dtype=np.int64)
+        self._table = (((x + self.error) // scale) * scale) & 255  # int64
+
+    def __call__(self, diff):
+        if isinstance(diff, np.ndarray):
+            return self._table[diff & 255].astype(diff.dtype)
+        import jax.numpy as jnp
+
+        table = jnp.asarray(self._table, jnp.int32)
+        return jnp.take(table, diff & 255, axis=0)
+
+    def __repr__(self) -> str:
+        return f"LUTQuantizer(error={self.error})"
+
+
+_STRATEGIES = ("linear", "noop", "lut")
+
+
+def quantize_fn(level: QuantizationLevel, strategy: str = "linear"):
     """Return ``f(diff_int32) -> quantized_int32`` for a preset.
 
     The returned callable is traceable by JAX (pure elementwise integer
     math) and fuses into the per-level kernel; its ``.error`` attribute is
-    the static max-error bound used for kernel specialization.
+    the static max-error bound and ``.identity`` drives the lossless
+    fast-path specialization.
+
+    ``strategy`` picks the quantizer mechanism, mirroring the reference's
+    pluggable ``Quantizator`` strategies (quantizator.rs:12-15):
+    ``linear`` (closed-form multiply-shift, the production path),
+    ``noop`` (NoOp — identity, quantizator.rs:17-34), ``lut`` (table-driven
+    Linear — a real 256-entry gather, quantizator.rs:62-68).
     """
-    return LinearQuantizer(linear_error(level))
+    if strategy == "linear":
+        return LinearQuantizer(linear_error(level))
+    if strategy == "noop":
+        return NoOpQuantizer()
+    if strategy == "lut":
+        return LUTQuantizer(linear_error(level))
+    raise ValueError(
+        f"unknown quantizer strategy {strategy!r}; expected one of {_STRATEGIES}"
+    )

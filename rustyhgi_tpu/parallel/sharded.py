@@ -72,6 +72,7 @@ def encode_batch_sharded(
     quantization: QuantizationLevel,
     mesh: Optional[Mesh] = None,
     with_histogram: bool = False,
+    predictor: str = "crossed",
 ):
     """Encode a [B, H, W] uint8 batch sharded over the mesh.
 
@@ -101,15 +102,18 @@ def encode_batch_sharded(
     spec = _batch_pspec()
     key = (
         "enc", _mesh_key(mesh), images.shape,
-        levels, int(quantization), with_histogram,
+        levels, int(quantization), with_histogram, predictor,
     )
     fn = _SHARD_CACHE.get(key)
     if fn is None:
+        from ..ops.predictors import predictor_fn
+
         quant = quantize_fn(quantization)
+        pred = predictor_fn(predictor)
 
         def local_encode(imgs):
             grids, recons = jax.vmap(
-                lambda im: pyramid.encode_plane(im, levels, quant)
+                lambda im: pyramid.encode_plane(im, levels, quant, pred)
             )(imgs)
             if with_histogram:
                 # Device-side residual histogram; summed over the whole

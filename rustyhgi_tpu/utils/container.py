@@ -55,6 +55,12 @@ __all__ = [
 HGI_MAGIC = 0xBAAD_A555  # archive.rs:13
 THGI_MAGIC = 0x7B61_A555  # native container magic ("tpu" variant)
 
+# Decompression-bomb guard: the largest single plane a hostile header may
+# declare (1 GPix ~= 1 GB of pixels).  Gigapixel images go through the
+# tiled container (per-tile metadata stays small); raise this module
+# global only for trusted single-plane workflows.
+MAX_PLANE_PIXELS = 1 << 30
+
 _METADATA = struct.Struct("<IIIIQ")  # qlevel, interp, width, height, scale
 
 
@@ -90,10 +96,12 @@ class Metadata:
         if len(raw) < _METADATA.size:
             raise ValueError("truncated metadata")
         q, interp, w, h, scale = _METADATA.unpack(raw)
-        # Sanity bounds on untrusted input: cap the plane at 2^32 pixels
-        # and the pyramid depth at 32 so a hostile header cannot trigger
-        # absurd allocations downstream.
-        if w * h > 1 << 32 or scale > 32:
+        # Sanity bounds on untrusted input: cap the plane (see
+        # MAX_PLANE_PIXELS) and the pyramid depth so a hostile 28-byte
+        # header cannot drive multi-GB allocations downstream; degenerate
+        # one-sided-zero dimensions are rejected too (0x0 stays legal —
+        # an empty plane is representable).
+        if w * h > MAX_PLANE_PIXELS or scale > 32 or (w == 0) != (h == 0):
             raise ValueError(
                 f"implausible archive dimensions {w}x{h} levels={scale}"
             )
@@ -137,8 +145,26 @@ def _deflate_best(payload: bytes) -> bytes:
     )
 
 
-def _inflate_raw(payload: bytes) -> bytes:
-    return zlib.decompress(payload, -15)
+def _inflate_raw(payload: bytes, max_size: int = None) -> bytes:
+    """Raw-DEFLATE inflate, output capped at ``max_size`` bytes.
+
+    The cap is the bomb guard: readers derive the exact expected payload
+    size from the (already bounds-checked) header before inflating, so a
+    tiny hostile stream cannot expand into an unbounded allocation.  A
+    stream that would produce MORE than ``max_size`` bytes is rejected
+    (the reference format always knows its exact payload size).
+    """
+    if max_size is None:
+        return zlib.decompress(payload, -15)
+    do = zlib.decompressobj(-15)
+    out = do.decompress(payload, max_size)
+    # Anything left beyond the cap (more compressed input pending, or
+    # buffered output) means the stream disagrees with the header.
+    if do.unconsumed_tail and do.decompress(do.unconsumed_tail, 1):
+        raise ValueError("payload larger than declared size")
+    if do.flush(1):
+        raise ValueError("payload larger than declared size")
+    return out
 
 
 def _grid_payload(archive: Archive) -> bytes:
@@ -177,8 +203,11 @@ def read_hgi(data: bytes) -> Archive:
     if magic != HGI_MAGIC:
         raise ValueError("incorrect magic number")  # archive.rs:48
     meta = Metadata.unpack(data[4 : 4 + _METADATA.size])
-    payload = _inflate_raw(data[4 + _METADATA.size :])
     n = meta.width * meta.height
+    # Inflate at most the header-derived payload size (u64 len + grid +
+    # u64 width) — a hostile body cannot allocate beyond the declared
+    # (bounds-checked) plane.
+    payload = _inflate_raw(data[4 + _METADATA.size :], max_size=8 + n + 8)
     if len(payload) < 8 + n + 8:
         raise ValueError("truncated grid payload")
     (length,) = struct.unpack_from("<Q", payload, 0)
@@ -521,8 +550,30 @@ def _thgi_frame(
     )
 
 
+def _expected_raw_size(meta: Metadata, layout: int) -> int:
+    """Exact decompressed payload size a layout implies for a metadata.
+
+    Derived entirely from the (bounds-checked) header, this is the bomb
+    guard for every entropy decoder: the declared raw_size MUST equal it
+    before any decode allocates.
+    """
+    if layout == _LAYOUT_ROWMAJOR:
+        return meta.width * meta.height
+    if layout == _LAYOUT_SUBBAND:
+        a_shape, q_shapes = subband_shapes(
+            meta.height, meta.width, meta.scale_level
+        )
+        return a_shape[0] * a_shape[1] + 3 * sum(h * w for h, w in q_shapes)
+    raise ValueError(f"unknown layout tag {layout}")
+
+
 def _parse_thgi_header(data: bytes):
-    """Parse a .thgi header -> (metadata, layout, codec tag, raw_size, body)."""
+    """Parse a .thgi header -> (metadata, layout, codec tag, raw_size, body).
+
+    Validates the declared raw_size against the layout's header-derived
+    expectation, so no decoder downstream ever allocates more than the
+    (bounds-checked) metadata implies.
+    """
     magic = _magic(data)
     if magic != THGI_MAGIC:
         raise ValueError("incorrect magic number")
@@ -533,6 +584,10 @@ def _parse_thgi_header(data: bytes):
         raise ValueError("truncated archive")
     layout, tag, raw_size = struct.unpack_from("<BBQ", data, off)
     off += struct.calcsize("<BBQ")
+    if raw_size != _expected_raw_size(meta, layout):
+        raise ValueError(
+            f"declared payload size {raw_size} does not match layout"
+        )
     return meta, layout, tag, raw_size, data[off:]
 
 
@@ -547,7 +602,7 @@ def read_thgi_payload(data: bytes):
     """
     meta, layout, tag, raw_size, body = _parse_thgi_header(data)
     if tag == _CODEC_DEFLATE:
-        raw = _inflate_raw(body)
+        raw = _inflate_raw(body, max_size=raw_size)
     elif tag == _CODEC_RANS:
         from ..ops.entropy import rans_decode
 
@@ -555,7 +610,7 @@ def read_thgi_payload(data: bytes):
     elif tag == _CODEC_BITPACK:
         from ..ops.pallas_kernels import unpack_bytes
 
-        raw = unpack_bytes(body).tobytes()
+        raw = unpack_bytes(body, expected_n=raw_size).tobytes()
     elif tag == _CODEC_RANS_MT:
         raw = _rans_mt_decode(body, raw_size)
     elif tag == _CODEC_CTX:
