@@ -66,19 +66,51 @@ class HGICodec:
         quantization: QuantizationLevel | str = QuantizationLevel.MEDIUM,
         predictor: str = "crossed",
         quantizer: str = "linear",
+        backend: str = "auto",
     ):
         if isinstance(quantization, str):
             quantization = QuantizationLevel.parse(quantization)
         if not 0 <= levels <= 16:
             raise ValueError(f"levels must be in [0, 16], got {levels}")
+        if backend not in ("auto", "xla", "pallas"):
+            raise ValueError(f"backend must be auto/xla/pallas, got {backend!r}")
         self.levels = int(levels)
         self.quantization = quantization
         self.predictor = predictor
         self.quantizer = quantizer
+        self.backend = backend
         quantize_fn(quantization, quantizer)  # validate strategy eagerly
         self._predictor_fn = predictor_fn(predictor)
         self._encode_cache: Dict[Tuple[int, int], jax.stages.Wrapped] = {}
         self._decode_cache: Dict[Tuple[int, int], jax.stages.Wrapped] = {}
+
+    def _use_pallas(self, shape: Tuple[int, int], need_quantize: bool) -> bool:
+        """Pick the fused Pallas kernel when it covers this config.
+
+        ``auto`` prefers the fused whole-pyramid kernel (ops.pallas_codec)
+        — same bits, ~3x the XLA path's throughput on v5e — and falls
+        back to XLA outside its envelope (levels < 2, very wide canvases,
+        table-driven quantizers).
+        """
+        if self.backend == "xla":
+            return False
+        from ..ops import pallas_codec
+
+        quant = self._quantize_fn() if need_quantize else None
+        ok = pallas_codec.supported(
+            self.levels, shape[0], shape[1], quant, self.predictor
+        )
+        if self.backend == "auto" and jax.default_backend() != "tpu":
+            # Off-TPU the kernel only runs interpreted (slow); auto keeps
+            # the XLA path there.  backend="pallas" still forces it.
+            return False
+        if self.backend == "pallas" and not ok:
+            raise ValueError(
+                "backend='pallas' requested but the fused kernel does not "
+                f"cover levels={self.levels}, shape={shape}, "
+                f"quantizer={self.quantizer!r}, predictor={self.predictor!r}"
+            )
+        return ok
 
     def _quantize_fn(self):
         return quantize_fn(self.quantization, self.quantizer)
@@ -89,18 +121,39 @@ class HGICodec:
         fn = self._encode_cache.get(shape)
         if fn is None:
             levels, quant = self.levels, self._quantize_fn()
-            pred = self._predictor_fn
-            fn = jax.jit(
-                lambda img: pyramid.encode_plane(img, levels, quant, pred)
-            )
+            if self._use_pallas(shape, need_quantize=True):
+                from ..ops.pallas_codec import encode_plane_pallas
+
+                pred_name = self.predictor
+                fn = jax.jit(
+                    lambda img: encode_plane_pallas(
+                        img, levels, quant, pred_name
+                    )
+                )
+            else:
+                pred = self._predictor_fn
+                fn = jax.jit(
+                    lambda img: pyramid.encode_plane(img, levels, quant, pred)
+                )
             self._encode_cache[shape] = fn
         return fn
 
     def _decode_fn(self, shape: Tuple[int, int]):
         fn = self._decode_cache.get(shape)
         if fn is None:
-            levels, pred = self.levels, self._predictor_fn
-            fn = jax.jit(lambda grid: pyramid.decode_plane(grid, levels, pred))
+            levels = self.levels
+            if self._use_pallas(shape, need_quantize=False):
+                from ..ops.pallas_codec import decode_plane_pallas
+
+                pred_name = self.predictor
+                fn = jax.jit(
+                    lambda grid: decode_plane_pallas(grid, levels, pred_name)
+                )
+            else:
+                pred = self._predictor_fn
+                fn = jax.jit(
+                    lambda grid: pyramid.decode_plane(grid, levels, pred)
+                )
             self._decode_cache[shape] = fn
         return fn
 

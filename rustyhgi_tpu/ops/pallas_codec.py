@@ -1,0 +1,658 @@
+"""Fused Pallas TPU codec: whole-pyramid encode/decode in one kernel.
+
+The XLA path (ops.pyramid) is compute-bound ~10x above the v5e HBM floor
+because its dominant ops are dyadic *lane relayouts* (uint16 bitcast
+splits / interleaves), which run far below elementwise VPU rate.  This
+module removes nearly all of them with a planar dataflow:
+
+* the canvas enters the kernel bitcast to **uint32 words** (4 pixels per
+  lane); extracting byte ``rx`` of row-residue ``ry`` yields the 16
+  stride-4 planes ``D[ry][rx]`` with *pure elementwise shifts* plus one
+  cheap sublane reshape — no lane relayout at all;
+* the two finest pyramid levels (93.75% of pixels for levels>=2) read and
+  write only those planes: cell corners are plane selections plus
+  single-step rolls, the Crossed rounding tree (reference
+  src/interpolator.rs:41-55) and the quantize/overflow-fixup closed loop
+  (src/encoder.rs:53-64) are elementwise on them;
+* coarser levels recurse on the stride-4 sub-lattice ``D[0][0]`` — 1/16
+  of the area — where a transpose makes lane splits sublane-cheap; the
+  cost decays geometrically (4**-depth);
+* the output is the **row-major residual grid** (the reference's own
+  Grid form, src/grid.rs:8-27): grid rows are re-packed into uint32
+  words elementwise, so the .hgi-ready layout costs nothing extra.
+
+Tiling: the grid dimension runs over (batch, row-tiles).  Each tile
+reads its rows plus a bottom *halo* — ``2^L`` rows for lossless encode
+(predictions read only source-lattice rows <= tile_end, SURVEY.md §3.5),
+``2^(L+1)`` for closed-loop encode and decode (a corner at row tile_end
+is reconstructed at coarser levels, whose own corners cascade at most
+``sum(2^k, k<=L) < 2^(L+1)`` rows further down).  Halo rows are computed
+redundantly and cropped, keeping tiles fully independent.
+
+Semantics are bit-exact vs rustyhgi_tpu.oracle (the reference golden
+model) for every shape/levels/preset/predictor; tests/test_pallas_codec.py
+fuzzes the matrix.  On CPU (tests) kernels run in interpreter mode.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..dyadic import cdiv, effective_levels
+from .quantizers import LinearQuantizer, NoOpQuantizer
+
+__all__ = [
+    "supported",
+    "encode_plane_pallas",
+    "decode_plane_pallas",
+]
+
+_I32 = jnp.int32
+_U8 = jnp.uint8
+_U32 = jnp.uint32
+
+# Widest canvas the row-tiled kernel accepts: VMEM holds a few int32
+# planes of (tile_rows/4, Wp/4); beyond this the XLA path takes over.
+_MAX_WIDTH = 16384
+_BASE_TILE = 128
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# -- planar helpers (pure jnp; run identically compiled and interpreted) ----
+
+
+def _shift_lane(p: jnp.ndarray) -> jnp.ndarray:
+    """out[i, j] = p[i, j+1]; zero fill at the canvas right edge.
+
+    Planes always span the full canvas width, so the lane edge *is* the
+    canvas edge and zero fill reproduces the reference's
+    out-of-bounds-corners-read-0 rule (src/interpolator.rs:75-82).
+    """
+    r = jnp.roll(p, -1, axis=-1)
+    col = lax.broadcasted_iota(_I32, p.shape, p.ndim - 1)
+    return jnp.where(col < p.shape[-1] - 1, r, 0)
+
+
+def _shift_sub(p: jnp.ndarray) -> jnp.ndarray:
+    """out[i, j] = p[i+1, j]; zero fill at the block bottom.
+
+    The bottom row is either true canvas bottom padding (zeros — matches
+    OOB-reads-0) or the tile halo tail, whose values never reach in-tile
+    outputs (halo sizing above).
+    """
+    r = jnp.roll(p, -1, axis=-2)
+    row = lax.broadcasted_iota(_I32, p.shape, p.ndim - 2)
+    return jnp.where(row < p.shape[-2] - 1, r, 0)
+
+
+def _tree_crossed(tl, tr, bl, br):
+    """The exact integer rounding tree of src/interpolator.rs:41-55."""
+    return (
+        ((tl + tr + 1) >> 1)
+        + ((bl + br + 1) >> 1)
+        + ((tl + bl + 1) >> 1)
+        + ((tr + br + 1) >> 1)
+    ) >> 2
+
+
+def _tree_left_top(tl, tr, bl, br):
+    """LeftTop predictor (src/interpolator.rs:15-28): the cell origin."""
+    return tl
+
+
+_TREES = {"crossed": _tree_crossed, "left_top": _tree_left_top}
+
+
+def _planes_k(X: jnp.ndarray, k: int):
+    """Split an (m, n) int32 lattice into its k*k stride-k planes.
+
+    ``out[ry][rx][i, j] == X[k*i + ry, k*j + rx]``.  Column residues are
+    separated on the transposed array (sublane reshape), then each
+    column plane is transposed back and row-split — the only lane
+    relayouts in the kernel, all at recursion depth >= 1 (<= 1/16 area).
+    """
+    m, n = X.shape
+    ct = X.T.reshape(n // k, k, m)
+    out = [[None] * k for _ in range(k)]
+    for rx in range(k):
+        c = ct[:, rx, :].T.reshape(m // k, k, n // k)
+        for ry in range(k):
+            out[ry][rx] = c[:, ry, :]
+    return out
+
+
+def _assemble(planes) -> jnp.ndarray:
+    """Inverse of :func:`_planes_k`: k*k stride-k planes -> (m, n) array."""
+    k = len(planes)
+    mq, nq = planes[0][0].shape
+    cols = []
+    for rx in range(k):
+        stacked = jnp.stack([planes[ry][rx] for ry in range(k)], axis=1)
+        cols.append(stacked.reshape(mq * k, nq))  # all rows, cols ≡ rx
+    t = jnp.stack([c.T for c in cols], axis=1)  # (nq, k, mq*k)
+    return t.reshape(nq * k, mq * k).T
+
+
+class _Masks:
+    """In-image masks for closed-loop recon (reference OOB contract).
+
+    A plane position (i, j) with row/col offsets (oy, ox) and steps
+    (sy, sx) maps to canvas pixel (row_base + oy + i*sy, ox + j*sx);
+    reconstruction outside the true (h, w) image is forced to 0 so
+    corner reads of padded positions agree with the reference's
+    out-of-bounds-reads-0 rule.  Axes fully covered by the image are
+    statically skipped; ``None`` means no masking needed at all.
+    """
+
+    def __init__(self, h, w, rows_total, wp, row_base):
+        self.h, self.w = h, w
+        self.need_y = rows_total is None or rows_total > h
+        self.need_x = wp > w
+        self.row_base = row_base
+
+    def __call__(self, shape, oy, sy, ox, sx):
+        if not (self.need_y or self.need_x):
+            return None
+        m = None
+        if self.need_y:
+            iy = self.row_base + oy + sy * lax.broadcasted_iota(_I32, shape, 0)
+            m = iy < self.h
+        if self.need_x:
+            ix = ox + sx * lax.broadcasted_iota(_I32, shape, 1)
+            mx = ix < self.w
+            m = mx if m is None else (m & mx)
+        return m
+
+
+_NO_MASK = lambda shape, oy, sy, ox, sx: None
+
+
+def _code(fine, pred, quantize, mask):
+    """One closed-loop residual step (src/encoder.rs:53-64).
+
+    Returns (grid_byte, recon_byte) as int32 in [0, 255].  ``quantize``
+    None means the statically-lossless path: q == diff, the overflow
+    fixup cannot trigger, and recon == fine exactly.
+    """
+    diff = (fine - pred) & 255
+    if quantize is None:
+        return diff, fine
+    q = quantize(diff)
+    fix = ((pred + q) > 255) != ((pred + diff) > 255)
+    g = jnp.where(fix, diff, q)
+    r = (pred + g) & 255
+    if mask is not None:
+        r = jnp.where(mask, r, 0)
+    return g, r
+
+
+# -- encode -----------------------------------------------------------------
+
+
+def _encode_core(D, lrem, quantize, tree, maskf, sy, sx):
+    """Two pyramid levels on a planar-decomposed lattice + recursion.
+
+    ``D[ry][rx]`` are the 16 stride-4 planes of the current lattice
+    (spacing (sy, sx) in canvas pixels).  Returns (grid_planes,
+    recon_planes) as 4x4 plane lists; ``recon_planes`` is None on the
+    lossless path (recon == source).
+    """
+    lossless = quantize is None
+    S = D[0][0]
+    if lrem == 2:
+        gsub, rsub = S, S  # anchors: raw values (src/encoder.rs:26-37)
+    else:
+        gsub, rsub = _encode_arr(S, lrem - 2, quantize, tree, maskf, 4 * sy, 4 * sx)
+
+    # Level A: coarse spacing 4, fine spacing 2 (relative to this lattice).
+    C = S if lossless else rsub
+    trs = _shift_lane(C)
+    bls = _shift_sub(C)
+    brs = _shift_sub(trs)
+    P = tree(C, trs, bls, brs)
+    gA01, rA01 = _code(D[0][2], P, quantize, maskf(P.shape, 0, 4 * sy, 2 * sx, 4 * sx))
+    gA10, rA10 = _code(D[2][0], P, quantize, maskf(P.shape, 2 * sy, 4 * sy, 0, 4 * sx))
+    gA11, rA11 = _code(D[2][2], P, quantize, maskf(P.shape, 2 * sy, 4 * sy, 2 * sx, 4 * sx))
+
+    # Level B: coarse spacing 2, fine spacing 1.  The spacing-2 recon
+    # lattice is exactly {C, rA01, rA10, rA11} by coordinate identity.
+    if lossless:
+        c00, c01, c10, c11 = S, D[0][2], D[2][0], D[2][2]
+    else:
+        c00, c01, c10, c11 = C, rA01, rA10, rA11
+    sl00 = _shift_lane(c00)
+    sl10 = _shift_lane(c10)
+    ss00 = _shift_sub(c00)
+    ss01 = _shift_sub(c01)
+    preds = {
+        (0, 0): tree(c00, c01, c10, c11),
+        (0, 1): tree(c01, sl00, c11, sl10),
+        (1, 0): tree(c10, c11, ss00, ss01),
+        (1, 1): tree(c11, sl10, ss01, _shift_sub(sl00)),
+    }
+
+    gp = [[None] * 4 for _ in range(4)]
+    rp = [[None] * 4 for _ in range(4)]
+    gp[0][0], rp[0][0] = gsub, rsub
+    gp[0][2], rp[0][2] = gA01, rA01
+    gp[2][0], rp[2][0] = gA10, rA10
+    gp[2][2], rp[2][2] = gA11, rA11
+    for a in (0, 1):
+        for b in (0, 1):
+            Pab = preds[(a, b)]
+            sh = Pab.shape
+            # q01: pixels (4i+2a, 4j+2b+1); q10: (4i+2a+1, 4j+2b); q11: both+1.
+            gp[2 * a][2 * b + 1], rp[2 * a][2 * b + 1] = _code(
+                D[2 * a][2 * b + 1], Pab, quantize,
+                maskf(sh, 2 * a * sy, 4 * sy, (2 * b + 1) * sx, 4 * sx),
+            )
+            gp[2 * a + 1][2 * b], rp[2 * a + 1][2 * b] = _code(
+                D[2 * a + 1][2 * b], Pab, quantize,
+                maskf(sh, (2 * a + 1) * sy, 4 * sy, 2 * b * sx, 4 * sx),
+            )
+            gp[2 * a + 1][2 * b + 1], rp[2 * a + 1][2 * b + 1] = _code(
+                D[2 * a + 1][2 * b + 1], Pab, quantize,
+                maskf(sh, (2 * a + 1) * sy, 4 * sy, (2 * b + 1) * sx, 4 * sx),
+            )
+    return gp, (None if lossless else rp)
+
+
+def _encode_arr(X, lrem, quantize, tree, maskf, sy, sx):
+    """Encode a materialized (m, n) lattice; returns (grid, recon) arrays."""
+    lossless = quantize is None
+    if lrem == 0:
+        return X, X
+    if lrem == 1:
+        p4 = _planes_k(X, 2)
+        C = p4[0][0]
+        trs = _shift_lane(C)
+        P = tree(C, trs, _shift_sub(C), _shift_sub(trs))
+        sh = P.shape
+        g01, r01 = _code(p4[0][1], P, quantize, maskf(sh, 0, 2 * sy, sx, 2 * sx))
+        g10, r10 = _code(p4[1][0], P, quantize, maskf(sh, sy, 2 * sy, 0, 2 * sx))
+        g11, r11 = _code(p4[1][1], P, quantize, maskf(sh, sy, 2 * sy, sx, 2 * sx))
+        G = _assemble([[C, g01], [g10, g11]])
+        R = X if lossless else _assemble([[C, r01], [r10, r11]])
+        return G, R
+    gp, rp = _encode_core(_planes_k(X, 4), lrem, quantize, tree, maskf, sy, sx)
+    return _assemble(gp), (X if rp is None else _assemble(rp))
+
+
+def _bytes16_from_u32(xw: jnp.ndarray):
+    """uint32 (r, wc) canvas words -> 16 stride-4 int32 planes, elementwise."""
+    r, wc = xw.shape
+    r4 = xw.reshape(r // 4, 4, wc)
+    rows = [r4[:, ry, :] for ry in range(4)]
+    return [
+        [((rows[ry] >> _U32(8 * rx)) & _U32(255)).astype(_I32) for rx in range(4)]
+        for ry in range(4)
+    ]
+
+
+def _pack_u32(planes, mq: int) -> jnp.ndarray:
+    """16 byte planes -> uint32 grid words (4*mq rows), elementwise."""
+    words = []
+    for ry in range(4):
+        w = (
+            planes[ry][0][:mq].astype(_U32)
+            | (planes[ry][1][:mq].astype(_U32) << _U32(8))
+            | (planes[ry][2][:mq].astype(_U32) << _U32(16))
+            | (planes[ry][3][:mq].astype(_U32) << _U32(24))
+        )
+        words.append(w)
+    stacked = jnp.stack(words, axis=1)  # (mq, 4, wc)
+    return stacked.reshape(stacked.shape[0] * 4, stacked.shape[2])
+
+
+def _encode_tile(xw, levels, quantize, tree, maskf, out_rows, want_recon,
+                 valid=None):
+    D = _bytes16_from_u32(xw)
+    if valid is not None:
+        D = _mask_rows(D, valid)
+    gp, rp = _encode_core(D, levels, quantize, tree, maskf, 1, 1)
+    grid = _pack_u32(gp, out_rows // 4)
+    recon = _pack_u32(rp, out_rows // 4) if (want_recon and rp is not None) else None
+    return grid, recon
+
+
+# -- decode -----------------------------------------------------------------
+
+
+def _dec(res, pred, mask):
+    r = (pred + res) & 255
+    if mask is not None:
+        r = jnp.where(mask, r, 0)
+    return r
+
+
+def _decode_core(Dg, lrem, tree, maskf, sy, sx):
+    """Mirror of :func:`_encode_core`: grid planes -> recon planes."""
+    if lrem == 2:
+        S = Dg[0][0]  # anchors are stored raw
+    else:
+        S = _decode_arr(Dg[0][0], lrem - 2, tree, maskf, 4 * sy, 4 * sx)
+    trs = _shift_lane(S)
+    P = tree(S, trs, _shift_sub(S), _shift_sub(trs))
+    sh = P.shape
+    rA01 = _dec(Dg[0][2], P, maskf(sh, 0, 4 * sy, 2 * sx, 4 * sx))
+    rA10 = _dec(Dg[2][0], P, maskf(sh, 2 * sy, 4 * sy, 0, 4 * sx))
+    rA11 = _dec(Dg[2][2], P, maskf(sh, 2 * sy, 4 * sy, 2 * sx, 4 * sx))
+
+    c00, c01, c10, c11 = S, rA01, rA10, rA11
+    sl00 = _shift_lane(c00)
+    sl10 = _shift_lane(c10)
+    ss00 = _shift_sub(c00)
+    ss01 = _shift_sub(c01)
+    preds = {
+        (0, 0): tree(c00, c01, c10, c11),
+        (0, 1): tree(c01, sl00, c11, sl10),
+        (1, 0): tree(c10, c11, ss00, ss01),
+        (1, 1): tree(c11, sl10, ss01, _shift_sub(sl00)),
+    }
+    rp = [[None] * 4 for _ in range(4)]
+    rp[0][0], rp[0][2], rp[2][0], rp[2][2] = S, rA01, rA10, rA11
+    for a in (0, 1):
+        for b in (0, 1):
+            Pab = preds[(a, b)]
+            sh = Pab.shape
+            rp[2 * a][2 * b + 1] = _dec(
+                Dg[2 * a][2 * b + 1], Pab,
+                maskf(sh, 2 * a * sy, 4 * sy, (2 * b + 1) * sx, 4 * sx),
+            )
+            rp[2 * a + 1][2 * b] = _dec(
+                Dg[2 * a + 1][2 * b], Pab,
+                maskf(sh, (2 * a + 1) * sy, 4 * sy, 2 * b * sx, 4 * sx),
+            )
+            rp[2 * a + 1][2 * b + 1] = _dec(
+                Dg[2 * a + 1][2 * b + 1], Pab,
+                maskf(sh, (2 * a + 1) * sy, 4 * sy, (2 * b + 1) * sx, 4 * sx),
+            )
+    return rp
+
+
+def _decode_arr(G, lrem, tree, maskf, sy, sx):
+    if lrem == 0:
+        return G
+    if lrem == 1:
+        p4 = _planes_k(G, 2)
+        C = p4[0][0]
+        trs = _shift_lane(C)
+        P = tree(C, trs, _shift_sub(C), _shift_sub(trs))
+        sh = P.shape
+        r01 = _dec(p4[0][1], P, maskf(sh, 0, 2 * sy, sx, 2 * sx))
+        r10 = _dec(p4[1][0], P, maskf(sh, sy, 2 * sy, 0, 2 * sx))
+        r11 = _dec(p4[1][1], P, maskf(sh, sy, 2 * sy, sx, 2 * sx))
+        return _assemble([[C, r01], [r10, r11]])
+    rp = _decode_core(_planes_k(G, 4), lrem, tree, maskf, sy, sx)
+    return _assemble(rp)
+
+
+def _decode_tile(gw, levels, tree, maskf, out_rows, valid=None):
+    Dg = _bytes16_from_u32(gw)
+    if valid is not None:
+        Dg = _mask_rows(Dg, valid)
+    rp = _decode_core(Dg, levels, tree, maskf, 1, 1)
+    return _pack_u32(rp, out_rows // 4)
+
+
+# -- host wrappers ----------------------------------------------------------
+
+
+def _plan(h: int, w: int, levels: int, halo_mult: int, tile_rows=None):
+    """Static tile plan: (hp_t, wp, wc, th, halo, n_tiles).
+
+    The tile height is a multiple of the halo (so the halo block of tile
+    ``t`` is an aligned block of the padded input) and never larger than
+    the padded canvas needs.
+    """
+    step = 1 << levels
+    hp = cdiv(h, step) * step
+    wp = cdiv(w, step) * step
+    # A larger halo is always safe (superset of the required rows); the
+    # minimum of 8 keeps halo blocks sublane-aligned for Mosaic.
+    halo = max(halo_mult * step, 8)
+    if tile_rows:
+        th = max(halo, cdiv(min(tile_rows, hp), halo) * halo)
+    else:
+        # Pick the tile height that minimizes redundant work: padded
+        # rows (hp_t - hp) plus redundant halo reads (hp_t * halo / th).
+        # Measured on v5e: ~128-row tiles pipeline best; large tiles
+        # lose VMEM locality, tiny ones drown in halo re-reads.
+        best, th = None, halo
+        for cand in range(halo, max(2 * _BASE_TILE, halo) + 1, halo):
+            hp_c = cdiv(hp, cand) * cand
+            cost = (hp_c - hp) + hp_c * halo / cand + abs(cand - _BASE_TILE) / 8
+            if best is None or cost < best:
+                best, th = cost, cand
+    hp_t = cdiv(hp, th) * th
+    return hp_t, wp, wp // 4, th, halo, hp_t // th
+
+
+def _to_words(x: jnp.ndarray, rows: int, wp: int) -> jnp.ndarray:
+    """Zero-pad a uint8 (n, h, w) stack to (n, rows, wp) and view as u32."""
+    n, h, w = x.shape
+    x = jnp.pad(x, ((0, 0), (0, rows - h), (0, wp - w)))
+    return lax.bitcast_convert_type(x.reshape(n, rows, wp // 4, 4), _U32)
+
+
+def _mask_rows(D, valid):
+    """Zero the D planes at block rows >= ``valid`` (padless input path).
+
+    When the true image height is not a canvas/tile multiple, the kernel
+    reads past the array end (Pallas pads out-of-bounds block reads with
+    unspecified bytes); zeroing rows >= valid restores exactly the
+    zero-padded-canvas semantics without paying a full XLA pad pass.
+    """
+    for ry in range(4):
+        for rx in range(4):
+            p = D[ry][rx]
+            i = lax.broadcasted_iota(_I32, p.shape, 0)
+            D[ry][rx] = jnp.where(4 * i + ry < valid, p, 0)
+    return D
+
+
+def _from_words(xw: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    n, rows, wc = xw.shape
+    x = lax.bitcast_convert_type(xw[..., None], _U8).reshape(n, rows, wc * 4)
+    return x[:, :h, :w]
+
+
+def supported(levels: int, h: int, w: int, quantize, predictor: str) -> bool:
+    """Whether the fused kernel covers this configuration.
+
+    Outside it (levels < 2 after clamping, very wide canvases, LUT/table
+    quantizers) callers use the XLA path — same bits, different engine.
+    """
+    lv = effective_levels(levels, h, w)
+    if lv < 2:
+        return False
+    if cdiv(w, 1 << lv) * (1 << lv) > _MAX_WIDTH:
+        return False
+    if predictor not in _TREES:
+        return False
+    if quantize is None:
+        return True
+    if isinstance(quantize, (LinearQuantizer, NoOpQuantizer)):
+        return True
+    return bool(getattr(quantize, "identity", False))
+
+
+def _norm_quantize(quantize):
+    """None (statically lossless) or a LinearQuantizer for the kernel."""
+    if quantize is None or getattr(quantize, "identity", False):
+        return None
+    if isinstance(quantize, LinearQuantizer):
+        return None if quantize.error == 0 else quantize
+    raise ValueError(f"unsupported quantizer for the Pallas path: {quantize!r}")
+
+
+@partial(
+    jax.jit,
+    static_argnames=("levels", "error", "predictor", "want_recon", "tile_rows"),
+)
+def _encode_batch(image, levels, error, predictor, want_recon, tile_rows):
+    n, h, w = image.shape
+    levels = effective_levels(levels, h, w)
+    quantize = None if error is None else LinearQuantizer(error)
+    lossless = quantize is None
+    hp_t, wp, wc, th, halo, n_tiles = _plan(
+        h, w, levels, 1 if lossless else 2, tile_rows
+    )
+    # Padless fast path: when the width is already canvas-aligned, skip
+    # the XLA zero-pad pass (a full extra HBM round trip) — the kernel
+    # reads past the array end (unspecified bytes) and re-establishes
+    # the zero-canvas semantics by masking rows >= h in VMEM.
+    padless = (wp == w) and h < hp_t + halo and not _interpret()
+    if padless:
+        xw = lax.bitcast_convert_type(image.reshape(n, h, wc, 4), _U32)
+    else:
+        xw = _to_words(image, hp_t + halo, wp)
+    tree = _TREES[predictor]
+
+    emit_recon = want_recon and not lossless
+
+    def kernel(main_ref, halo_ref, out_ref, *rest):
+        t = pl.program_id(1) if n_tiles > 1 else 0
+        x = jnp.concatenate([main_ref[0], halo_ref[0]], axis=0)
+        maskf = (
+            _NO_MASK
+            if lossless
+            else _Masks(h, w, hp_t + halo, wp, t * th)
+        )
+        grid, recon = _encode_tile(
+            x, levels, quantize, tree, maskf, th, emit_recon,
+            valid=(h - t * th) if padless else None,
+        )
+        out_ref[0] = grid
+        if emit_recon:
+            rest[0][0] = recon
+
+    out_shapes = [jax.ShapeDtypeStruct((n, hp_t, wc), _U32)]
+    out_specs = [
+        pl.BlockSpec((1, th, wc), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM)
+    ]
+    if emit_recon:
+        out_shapes.append(jax.ShapeDtypeStruct((n, hp_t, wc), _U32))
+        out_specs.append(
+            pl.BlockSpec((1, th, wc), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM)
+        )
+    results = pl.pallas_call(
+        kernel,
+        grid=(n, n_tiles),
+        in_specs=[
+            pl.BlockSpec(
+                (1, th, wc), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, halo, wc),
+                lambda b, t, m=th // halo: (b, (t + 1) * m, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=_interpret(),
+    )(xw, xw)
+    grid = _from_words(results[0], h, w)
+    if not want_recon:
+        return grid, None
+    recon = image if lossless else _from_words(results[1], h, w)
+    return grid, recon
+
+
+@partial(jax.jit, static_argnames=("levels", "predictor", "tile_rows"))
+def _decode_batch(grid, levels, predictor, tile_rows):
+    n, h, w = grid.shape
+    levels = effective_levels(levels, h, w)
+    hp_t, wp, wc, th, halo, n_tiles = _plan(h, w, levels, 2, tile_rows)
+    padless = (wp == w) and h < hp_t + halo and not _interpret()
+    if padless:
+        gw = lax.bitcast_convert_type(grid.reshape(n, h, wc, 4), _U32)
+    else:
+        gw = _to_words(grid, hp_t + halo, wp)
+    tree = _TREES[predictor]
+
+    def kernel(main_ref, halo_ref, out_ref):
+        t = pl.program_id(1) if n_tiles > 1 else 0
+        g = jnp.concatenate([main_ref[0], halo_ref[0]], axis=0)
+        maskf = _Masks(h, w, hp_t + halo, wp, t * th)
+        out_ref[0] = _decode_tile(
+            g, levels, tree, maskf, th,
+            valid=(h - t * th) if padless else None,
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n, n_tiles),
+        in_specs=[
+            pl.BlockSpec(
+                (1, th, wc), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, halo, wc),
+                lambda b, t, m=th // halo: (b, (t + 1) * m, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th, wc), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, hp_t, wc), _U32),
+        interpret=_interpret(),
+    )(gw, gw)
+    return _from_words(out, h, w)
+
+
+def encode_plane_pallas(
+    image: jnp.ndarray,
+    levels: int,
+    quantize=None,
+    predictor: str = "crossed",
+    want_recon: bool = True,
+    tile_rows: Optional[int] = None,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Fused-kernel counterpart of ops.pyramid.encode_plane.
+
+    Returns ``(grid, recon)`` — both uint8 [..., H, W], bit-identical to
+    the XLA path and the oracle.  ``quantize`` must be None / identity /
+    a LinearQuantizer (see :func:`supported`).  ``tile_rows`` overrides
+    the row-tile height (tests force multi-tile on small images).
+    """
+    image = jnp.asarray(image, _U8)
+    squeeze = image.ndim == 2
+    if squeeze:
+        image = image[None]
+    q = _norm_quantize(quantize)
+    grid, recon = _encode_batch(
+        image, int(levels), (None if q is None else q.error), predictor,
+        want_recon, tile_rows,
+    )
+    if squeeze:
+        grid = grid[0]
+        recon = None if recon is None else recon[0]
+    return grid, recon
+
+
+def decode_plane_pallas(
+    grid: jnp.ndarray,
+    levels: int,
+    predictor: str = "crossed",
+    tile_rows: Optional[int] = None,
+) -> jnp.ndarray:
+    """Fused-kernel counterpart of ops.pyramid.decode_plane."""
+    grid = jnp.asarray(grid, _U8)
+    squeeze = grid.ndim == 2
+    if squeeze:
+        grid = grid[None]
+    out = _decode_batch(grid, int(levels), predictor, tile_rows)
+    return out[0] if squeeze else out

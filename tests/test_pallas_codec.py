@@ -1,0 +1,147 @@
+"""Fused Pallas codec kernels vs the oracle (reference golden model).
+
+Runs in interpreter mode on CPU (conftest forces jax_platforms=cpu); the
+same kernels compile under Mosaic on TPU, where tools/chip_pallas_codec.py
+re-validates hardware semantics.  The invariant is CLAUDE.md's: device
+encode bit-exact vs rustyhgi_tpu/oracle.py for every
+shape/levels/preset/predictor.
+"""
+
+import numpy as np
+import pytest
+
+from rustyhgi_tpu.oracle import oracle_decode, oracle_encode
+from rustyhgi_tpu.ops import pyramid
+from rustyhgi_tpu.ops.pallas_codec import (
+    decode_plane_pallas,
+    encode_plane_pallas,
+    supported,
+)
+from rustyhgi_tpu.ops.quantizers import (
+    LUTQuantizer,
+    QuantizationLevel,
+    quantize_fn,
+)
+
+RNG = np.random.default_rng(7)
+
+
+def _img(h, w):
+    return RNG.integers(0, 256, (h, w), np.uint8)
+
+
+@pytest.mark.parametrize("shape", [(64, 64), (37, 53), (96, 128), (130, 68)])
+@pytest.mark.parametrize("levels", [2, 3, 4])
+@pytest.mark.parametrize(
+    "preset", [QuantizationLevel.LOSSLESS, QuantizationLevel.MEDIUM]
+)
+def test_encode_decode_bit_exact(shape, levels, preset):
+    img = _img(*shape)
+    q = quantize_fn(preset)
+    grid_o = oracle_encode(img, levels, preset)
+    grid_p, recon_p = encode_plane_pallas(img, levels, q, "crossed")
+    assert np.array_equal(np.asarray(grid_p), grid_o)
+    dec_o = oracle_decode(grid_o, levels)
+    assert np.array_equal(
+        np.asarray(decode_plane_pallas(grid_o, levels, "crossed")), dec_o
+    )
+    if recon_p is not None:
+        assert np.array_equal(np.asarray(recon_p), dec_o)
+
+
+@pytest.mark.parametrize("preset", list(QuantizationLevel))
+@pytest.mark.parametrize("pred", ["crossed", "left_top"])
+def test_presets_predictors(preset, pred):
+    img = _img(61, 94)
+    q = quantize_fn(preset)
+    grid_o = oracle_encode(img, 4, preset, pred)
+    grid_p, _ = encode_plane_pallas(img, 4, q, pred)
+    assert np.array_equal(np.asarray(grid_p), grid_o)
+    dec_o = oracle_decode(grid_o, 4, pred)
+    assert np.array_equal(
+        np.asarray(decode_plane_pallas(grid_o, 4, pred)), dec_o
+    )
+
+
+@pytest.mark.parametrize("tile_rows", [32, 64])
+@pytest.mark.parametrize(
+    "preset", [QuantizationLevel.LOSSLESS, QuantizationLevel.HIGH]
+)
+def test_multi_tile_halo(tile_rows, preset):
+    """Row tiling with halos must not change a single byte.
+
+    The halo bound is tight (2^(L+1) for the closed loop — see the module
+    docstring), so a tall image over many tiles is the regression test
+    that pins it.
+    """
+    img = _img(300, 52)
+    q = quantize_fn(preset)
+    for levels in (3, 4):
+        grid_o = oracle_encode(img, levels, preset)
+        grid_p, _ = encode_plane_pallas(img, levels, q, tile_rows=tile_rows)
+        assert np.array_equal(np.asarray(grid_p), grid_o), (tile_rows, levels)
+        dec_o = oracle_decode(grid_o, levels)
+        dec_p = decode_plane_pallas(grid_o, levels, tile_rows=tile_rows)
+        assert np.array_equal(np.asarray(dec_p), dec_o), (tile_rows, levels)
+
+
+def test_batch_matches_single():
+    imgs = np.stack([_img(48, 80) for _ in range(3)])
+    q = quantize_fn(QuantizationLevel.MEDIUM)
+    grids, recons = encode_plane_pallas(imgs, 3, q)
+    for k in range(3):
+        grid_o = oracle_encode(imgs[k], 3, QuantizationLevel.MEDIUM)
+        assert np.array_equal(np.asarray(grids[k]), grid_o)
+        assert np.array_equal(
+            np.asarray(recons[k]), oracle_decode(grid_o, 3)
+        )
+    dec = decode_plane_pallas(np.asarray(grids), 3)
+    for k in range(3):
+        assert np.array_equal(
+            np.asarray(dec[k]), oracle_decode(np.asarray(grids[k]), 3)
+        )
+
+
+def test_deep_levels_clamped():
+    """levels with 2^L > dim clamp exactly like the XLA path."""
+    img = _img(24, 40)
+    q = quantize_fn(QuantizationLevel.LOSSLESS)
+    for levels in (5, 8):
+        grid_x, _ = pyramid.encode_plane(img, levels, q)
+        grid_p, _ = encode_plane_pallas(img, levels, q)
+        assert np.array_equal(np.asarray(grid_p), np.asarray(grid_x))
+
+
+def test_matches_xla_path_lossy():
+    """Same bits as ops.pyramid for the closed-loop path."""
+    img = _img(90, 110)
+    q = quantize_fn(QuantizationLevel.LOW)
+    grid_x, recon_x = pyramid.encode_plane(img, 4, q)
+    grid_p, recon_p = encode_plane_pallas(img, 4, q)
+    assert np.array_equal(np.asarray(grid_p), np.asarray(grid_x))
+    assert np.array_equal(np.asarray(recon_p), np.asarray(recon_x))
+
+
+def test_supported_gating():
+    q = quantize_fn(QuantizationLevel.MEDIUM)
+    assert supported(4, 128, 128, q, "crossed")
+    assert supported(4, 128, 128, None, "left_top")
+    assert not supported(1, 128, 128, q, "crossed")  # too few levels
+    assert not supported(4, 16, 2 << 16, q, "crossed")  # too wide
+    assert not supported(4, 128, 128, q, "line")  # unknown predictor
+    assert not supported(4, 128, 128, LUTQuantizer(20), "crossed")  # gather
+    # NoOp / identity quantizers ride the statically-lossless kernel.
+    assert supported(4, 128, 128, quantize_fn(QuantizationLevel.LOSSLESS, "noop"), "crossed")
+
+
+def test_tiny_and_edge_shapes():
+    q = quantize_fn(QuantizationLevel.MEDIUM)
+    for shape in [(4, 4), (5, 9), (16, 4), (4, 17)]:
+        img = _img(*shape)
+        grid_o = oracle_encode(img, 2, QuantizationLevel.MEDIUM)
+        grid_p, _ = encode_plane_pallas(img, 2, q)
+        assert np.array_equal(np.asarray(grid_p), grid_o), shape
+        assert np.array_equal(
+            np.asarray(decode_plane_pallas(grid_o, 2)),
+            oracle_decode(grid_o, 2),
+        ), shape
