@@ -250,51 +250,80 @@ def cmd_test(args) -> int:
 def _read_thgit_prefix(path, tile, width, height):
     """Count complete blocks in an existing .thgit (resume support).
 
-    Returns (n_complete_blocks, byte_offset_after_them), or None if the
-    file is absent or its header does not match the requested job.
+    Only v2 archives (magic 0x7161A556: u8 flags + optional shared
+    table, u64 length + u32 CRC framing) are resumable — CRC-invalid
+    blocks end the valid prefix.  Legacy v1 files return None (a resume
+    would have to append v2 frames to v1 framing, corrupting the file;
+    they re-encode from scratch instead, and stay readable through
+    ``parse_thgit``).  Returns
+    (n_complete_blocks, byte_offset_after_them, shared_freqs), or None
+    if the file is absent or its header does not match the requested job.
     """
     import struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    from .utils.container import THGIT2_MAGIC
 
     try:
         with open(path, "rb") as f:
             data = f.read()
     except OSError:
         return None
-    if len(data) < 20:
+    if len(data) < 21:
         return None
     magic, t, w, h, n = struct.unpack_from("<IIIII", data, 0)
-    if (magic, t, w, h) != (0x7161A555, tile, width, height):
+    if magic != THGIT2_MAGIC or (t, w, h) != (tile, width, height):
         return None
-    off, k = 20, 0
-    while k < n and off + 8 <= len(data):
-        (blen,) = struct.unpack_from("<Q", data, off)
-        if off + 8 + blen > len(data):
+    freqs = None
+    flags = data[20]
+    off = 21
+    if flags & 1:
+        if len(data) < off + 512:
+            return None
+        freqs = np.frombuffer(data, dtype="<u2", count=256, offset=off).copy()
+        off += 512
+    k = 0
+    while k < n and off + 12 <= len(data):
+        blen, crc = struct.unpack_from("<QI", data, off)
+        if off + 12 + blen > len(data):
             break  # trailing partial block: drop it
-        off += 8 + blen
+        if _zlib.crc32(data[off + 12 : off + 12 + blen]) != crc:
+            break  # corrupt tail: rewrite from here
+        off += 12 + blen
         k += 1
-    return k, off
+    return k, off, freqs
 
 
 def cmd_encode_tiled(args) -> int:
     """Gigapixel path: independent per-tile streams, sharded over devices.
 
-    Output format (.thgit): u32 LE magic 0x7161A555, u32 tile, u32 width,
-    u32 height, u32 n_blocks, then per block u64 LE length + block bytes
-    (each block is a standalone .hgi/.thgi archive, row-major tile order).
-    Blocks are streamed to disk as they are compressed, so an interrupted
-    job leaves a valid prefix; ``--resume`` continues from the first
-    missing block (the per-tile restartability of SURVEY.md §5).
+    Output format (.thgit v2, utils.container.thgit2_header): header with
+    optional once-per-archive shared rANS table, then per block u64 LE
+    length + u32 LE CRC32 + block bytes (each block a standalone
+    .hgi/.thgi archive, row-major tile order).  Blocks are streamed to
+    disk as they are compressed, so an interrupted job leaves a valid
+    prefix; ``--resume`` continues from the first missing or
+    CRC-corrupt block (per-tile restartability, SURVEY.md §5).
+
+    ``--shared-table`` psums the global residual histogram on device and
+    codes every block against one rANS table stored once in the header
+    (multi-host-identical bytes; see parallel.multihost).
     """
-    import struct
     import sys as _sys
 
     import numpy as np
 
+    from .ops.entropy import normalized_freqs
     from .parallel.mesh import make_mesh
     from .parallel.sharded import encode_batch_sharded, pad_batch, tile_plane
-    from .utils.container import write_archive
+    from .utils.container import thgit2_block_frame, thgit2_header, write_archive
 
     quant = QuantizationLevel.parse(args.quantizator)
+    shared = getattr(args, "shared_table", False)
+    if shared and args.format != "thgi":
+        raise ValueError("--shared-table requires --format thgi")
     image = load_luma(args.input)
     mesh_shape = None
     if args.mesh:
@@ -309,14 +338,19 @@ def cmd_encode_tiled(args) -> int:
 
     start = 0
     mode = "wb"
+    freqs = None
     if getattr(args, "resume", False):
         prefix = _read_thgit_prefix(args.output, args.tile, w, h)
         if prefix is not None:
-            start, off = prefix
+            start, off, freqs = prefix
+            if shared and freqs is None:
+                raise ValueError(
+                    "--shared-table resume needs a v2 archive with a table"
+                )
             if start >= n_tiles:
                 return 0  # already complete
             with open(args.output, "r+b") as f:
-                f.truncate(off)  # drop any trailing partial block
+                f.truncate(off)  # drop any trailing partial/corrupt block
             mode = "ab"
             print(f"resuming at block {start}/{n_tiles}", file=_sys.stderr)
 
@@ -338,43 +372,44 @@ def cmd_encode_tiled(args) -> int:
             if attempt == 2:
                 raise
             print(f"encode attempt failed ({e}); retrying", file=_sys.stderr)
+    if shared and freqs is None:
+        # The table must describe the global batch; a fresh shared run
+        # always starts at tile 0 (resume reuses the header-pinned
+        # table), so grids_host covers every real tile.  Zero-pad tiles
+        # are excluded so the table is mesh-shape invariant.
+        freqs = normalized_freqs(
+            np.bincount(grids_host.reshape(-1), minlength=256)
+        )
 
     codec = HGICodec(args.level, quant, predictor=args.predictor)
     with open(args.output, mode) as f:
         if mode == "wb":
-            f.write(struct.pack("<IIIII", 0x7161A555, args.tile, w, h, n_tiles))
+            f.write(thgit2_header(args.tile, w, h, n_tiles, freqs))
         for i in range(remaining.shape[0]):
             archive = Archive(
                 codec.metadata_for(args.tile, args.tile), grids_host[i]
             )
-            b = write_archive(archive, args.format)
-            f.write(struct.pack("<Q", len(b)))
-            f.write(b)
+            b = write_archive(archive, args.format, freqs=freqs)
+            f.write(thgit2_block_frame(b))
             f.flush()  # interrupted jobs leave a valid resumable prefix
     return 0
 
 
 def cmd_decode_tiled(args) -> int:
-    import struct
-
     import numpy as np
 
+    from .ops.predictors import predictor_name_for_tag
     from .parallel.sharded import untile_plane
+    from .utils.container import parse_thgit
 
     with open(args.input, "rb") as f:
         data = f.read()
-    magic, tile, width, height, n = struct.unpack_from("<IIIII", data, 0)
-    if magic != 0x7161A555:
-        raise ValueError("incorrect magic number")
-    from .ops.predictors import predictor_name_for_tag
-
-    off = 20
+    # parse_thgit verifies per-block CRCs (v2) and surfaces the corrupt
+    # block index — the failure-detection contract of the tiled tier.
+    tile, width, height, blocks, freqs = parse_thgit(data)
     grids, levels, interp = [], None, 0
-    for _ in range(n):
-        (blen,) = struct.unpack_from("<Q", data, off)
-        off += 8
-        archive = read_archive(data[off : off + blen])
-        off += blen
+    for block in blocks:
+        archive = read_archive(block, freqs=freqs)
         grids.append(archive.grid)
         levels = archive.metadata.scale_level
         interp = archive.metadata.interpolation
@@ -447,6 +482,12 @@ def main(argv=None) -> int:
         "--resume",
         action="store_true",
         help="continue an interrupted job from the first missing block",
+    )
+    p.add_argument(
+        "--shared-table",
+        action="store_true",
+        help="entropy-code all blocks against one global rANS table "
+        "stored once in the header (requires --format thgi)",
     )
     _add_encoding_options(p)
     p.set_defaults(fn=cmd_encode_tiled)

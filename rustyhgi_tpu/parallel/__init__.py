@@ -5,6 +5,13 @@ The reference is single-threaded scalar code with no parallel tier
 """
 
 from .mesh import DATA_AXIS, TILE_AXIS, make_mesh
+from .multihost import (
+    MultiHostConfig,
+    TiledEncodeResult,
+    decode_tiled_multihost,
+    encode_tiled_multihost,
+    write_thgit_multihost,
+)
 from .sharded import (
     decode_batch_sharded,
     encode_batch_sharded,
@@ -24,4 +31,9 @@ __all__ = [
     "tile_plane",
     "untile_plane",
     "pad_batch",
+    "MultiHostConfig",
+    "TiledEncodeResult",
+    "encode_tiled_multihost",
+    "decode_tiled_multihost",
+    "write_thgit_multihost",
 ]

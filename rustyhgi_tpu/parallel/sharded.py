@@ -145,18 +145,24 @@ def decode_batch_sharded(
     grids,
     levels: int,
     mesh: Optional[Mesh] = None,
+    predictor: str = "crossed",
 ):
     """Decode a [B, H, W] uint8 residual-grid batch sharded over the mesh."""
     if mesh is None:
         mesh = make_mesh()
     grids = jnp.asarray(grids, jnp.uint8)
     spec = _batch_pspec()
-    key = ("dec", _mesh_key(mesh), grids.shape, levels)
+    key = ("dec", _mesh_key(mesh), grids.shape, levels, predictor)
     fn = _SHARD_CACHE.get(key)
     if fn is None:
+        from ..ops.predictors import predictor_fn
+
+        pred = predictor_fn(predictor)
 
         def local_decode(gs):
-            return jax.vmap(lambda g: pyramid.decode_plane(g, levels))(gs)
+            return jax.vmap(
+                lambda g: pyramid.decode_plane(g, levels, pred)
+            )(gs)
 
         fn = jax.jit(
             jax.shard_map(

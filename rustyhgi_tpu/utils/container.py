@@ -232,6 +232,18 @@ _CODEC_RANS = 1
 _CODEC_BITPACK = 2  # device-side Pallas bit-plane pack (fast mode)
 _CODEC_RANS_MT = 3  # two independent rANS chunks, coded in parallel
 _CODEC_CTX = 4  # context-adaptive binary range coder (subband layout only)
+_CODEC_RANS_SHARED = 5  # rANS with an EXTERNAL shared freq table (multi-host)
+_CODEC_CTX_MT = 6  # chunk-parallel ctx coder (subband layout only)
+
+_RANS_TABLE_BYTES = 512  # u16 LE freq[256] prefix of every rANS stream
+
+
+def _check_freqs(freqs) -> np.ndarray:
+    """Validate and canonicalize a shared rANS table (u16[256], sum 2**14)."""
+    table = np.ascontiguousarray(freqs, dtype=np.uint16)
+    if table.shape != (256,) or int(table.sum()) != 1 << 14:
+        raise ValueError("shared freq table must be u16[256] summing to 2**14")
+    return table
 
 _LAYOUT_ROWMAJOR = 0
 _LAYOUT_SUBBAND = 1
@@ -364,7 +376,9 @@ def _rans_mt_decode(body: bytes, raw_size: int) -> bytes:
     return fa.result() + fb.result()
 
 
-def _entropy_candidate_jobs(raw: bytes, fast: bool = False, allowed=None):
+def _entropy_candidate_jobs(
+    raw: bytes, fast: bool = False, allowed=None, freqs=None
+):
     """(codec tag, thunk) candidates for one payload.
 
     Thunks are pure and GIL-releasing (zlib, the native coders via
@@ -411,6 +425,17 @@ def _entropy_candidate_jobs(raw: bytes, fast: bool = False, allowed=None):
             return rans_encode(raw)
 
         jobs.append((_CODEC_RANS, _rans))
+    if freqs is not None and keep(_CODEC_RANS_SHARED):
+        # Shared-table rANS (multi-host tier): the stream is the standard
+        # rANS layout with its 512-byte table prefix STRIPPED — the table
+        # lives once in the enclosing tiled container (or is supplied by
+        # the caller on read), so N blocks pay the table cost once.
+        def _rans_shared():
+            from ..ops.entropy import rans_encode
+
+            return rans_encode(raw, freqs)[_RANS_TABLE_BYTES:]
+
+        jobs.append((_CODEC_RANS_SHARED, _rans_shared))
     return jobs
 
 
@@ -434,6 +459,8 @@ _CODEC_NAMES = {
     "bitpack": _CODEC_BITPACK,
     "rans_mt": _CODEC_RANS_MT,
     "ctx": _CODEC_CTX,
+    "rans_shared": _CODEC_RANS_SHARED,
+    "ctx_mt": _CODEC_CTX_MT,
 }
 
 
@@ -442,6 +469,7 @@ def write_thgi(
     layouts=("rowmajor", "subband"),
     fast: bool = False,
     codecs=None,
+    freqs=None,
 ) -> bytes:
     """Serialize to the native container.
 
@@ -460,9 +488,19 @@ def write_thgi(
     on the reference's own test images.
 
     ``codecs`` optionally restricts the candidate entropy codecs to a
-    subset of {"deflate", "rans", "rans_mt", "bitpack", "ctx"}; default
-    tries everything the mode allows and keeps the smallest.
+    subset of {"deflate", "rans", "rans_mt", "bitpack", "ctx",
+    "rans_shared"}; default tries everything the mode allows and keeps
+    the smallest.
+
+    ``freqs`` (u16[256] summing to 2**14, from
+    ``ops.entropy.normalized_freqs``) adds the shared-table rANS
+    candidate: the block is coded against that external table and the
+    512-byte table prefix is omitted from the stream — the multi-host
+    tier stores the table once per tiled archive.  Such blocks decode
+    only with the same table (``read_thgi(data, freqs=...)``).
     """
+    if freqs is not None:
+        freqs = _check_freqs(freqs)
     if fast and "rowmajor" in layouts:
         # Fast mode is throughput-over-size: one device bit-pack pass on
         # one layout (row-major needs no host subband split), not a size
@@ -484,13 +522,13 @@ def write_thgi(
     jobs = []  # (layout, tag, raw_len, thunk)
     if "rowmajor" in layouts:
         raw = archive.grid.tobytes()
-        for tag, fn in _entropy_candidate_jobs(raw, fast, allowed):
+        for tag, fn in _entropy_candidate_jobs(raw, fast, allowed, freqs):
             jobs.append((_LAYOUT_ROWMAJOR, tag, len(raw), fn))
     if "subband" in layouts and archive.metadata.scale_level > 0:
         raw = _subband_payload(archive)
-        for tag, fn in _entropy_candidate_jobs(raw, fast, allowed):
+        for tag, fn in _entropy_candidate_jobs(raw, fast, allowed, freqs):
             jobs.append((_LAYOUT_SUBBAND, tag, len(raw), fn))
-        if not fast and keep(_CODEC_CTX):
+        if not fast and (keep(_CODEC_CTX) or keep(_CODEC_CTX_MT)):
             # By default the ctx candidate runs only with the native
             # coder present: the pure-Python spec implementation is a
             # correctness fallback (~0.1 MB/s), fine for reading archives
@@ -499,18 +537,40 @@ def write_thgi(
             from ..ops.native import available as _native_available
 
             if allowed is not None or _native_available():
-                from ..ops.ctxcoder import ctx_encode
+                from ..ops.ctxcoder import (
+                    ctx_encode,
+                    ctx_encode_mt,
+                    ctx_mt_chunks,
+                )
 
                 pieces = _ctx_pieces(archive.metadata)
                 shift = _ctx_shift(archive.metadata)
-                jobs.append(
-                    (
-                        _LAYOUT_SUBBAND,
-                        _CODEC_CTX,
-                        len(raw),
-                        lambda: ctx_encode(raw, pieces, shift),
+                # Large payloads use the chunk-parallel framing (the
+                # serial coder is the slowest stage by far — VERDICT #9
+                # of round 1); small ones keep the single stream, whose
+                # size is strictly better.  An explicit codecs= request
+                # for ctx_mt is honored at any size.
+                forced_mt = allowed is not None and _CODEC_CTX_MT in allowed
+                if keep(_CODEC_CTX_MT) and (
+                    forced_mt or ctx_mt_chunks(len(raw)) > 1
+                ):
+                    jobs.append(
+                        (
+                            _LAYOUT_SUBBAND,
+                            _CODEC_CTX_MT,
+                            len(raw),
+                            lambda: ctx_encode_mt(raw, pieces, shift),
+                        )
                     )
-                )
+                elif keep(_CODEC_CTX):
+                    jobs.append(
+                        (
+                            _LAYOUT_SUBBAND,
+                            _CODEC_CTX,
+                            len(raw),
+                            lambda: ctx_encode(raw, pieces, shift),
+                        )
+                    )
 
     # Race the candidates on a pool (distinct from the rANS-MT chunk pool
     # so nested submission cannot deadlock); every coder releases the GIL.
@@ -591,14 +651,26 @@ def _parse_thgi_header(data: bytes):
     return meta, layout, tag, raw_size, data[off:]
 
 
-def read_thgi_payload(data: bytes):
+def _shared_rans_decode(body: bytes, raw_size: int, freqs) -> bytes:
+    """Decode a table-stripped shared-rANS stream by re-prepending freqs."""
+    from ..ops.entropy import rans_decode
+
+    if freqs is None:
+        raise ValueError(
+            "archive uses a shared coder table; pass freqs= (u16[256])"
+        )
+    return rans_decode(_check_freqs(freqs).tobytes() + body, raw_size)
+
+
+def read_thgi_payload(data: bytes, freqs=None):
     """Parse a .thgi container to ``(metadata, layout, raw_payload, raw_size)``.
 
     ``raw_payload`` is the decompressed byte stream and ``raw_size`` the
     header's declared size (validated against layout expectations by the
     callers); for the subband layout, :func:`read_thgi_subbands` slices it
     into arrays without the row-major assembly, enabling the device's
-    direct subband decode.
+    direct subband decode.  ``freqs`` is the shared coder table for
+    blocks written with ``write_thgi(..., freqs=...)``.
     """
     meta, layout, tag, raw_size, body = _parse_thgi_header(data)
     if tag == _CODEC_DEFLATE:
@@ -607,6 +679,8 @@ def read_thgi_payload(data: bytes):
         from ..ops.entropy import rans_decode
 
         raw = rans_decode(body, raw_size)
+    elif tag == _CODEC_RANS_SHARED:
+        raw = _shared_rans_decode(body, raw_size, freqs)
     elif tag == _CODEC_BITPACK:
         from ..ops.pallas_kernels import unpack_bytes
 
@@ -619,6 +693,12 @@ def read_thgi_payload(data: bytes):
         from ..ops.ctxcoder import ctx_decode
 
         raw = ctx_decode(body, _ctx_pieces(meta), _ctx_shift(meta))
+    elif tag == _CODEC_CTX_MT:
+        if layout != _LAYOUT_SUBBAND:
+            raise ValueError("ctx codec requires the subband layout")
+        from ..ops.ctxcoder import ctx_decode_mt
+
+        raw = ctx_decode_mt(body, _ctx_pieces(meta), _ctx_shift(meta))
     else:
         raise ValueError(f"unknown entropy codec tag {tag}")
     if len(raw) < raw_size:
@@ -654,7 +734,7 @@ def _slice_subbands(meta: Metadata, raw: bytes, raw_size: int, upto=None):
     return anchors, subbands
 
 
-def read_thgi_subbands(data: bytes):
+def read_thgi_subbands(data: bytes, freqs=None):
     """Parse a subband-layout .thgi to ``(metadata, anchors, subbands)``.
 
     Raises ValueError for row-major archives (callers fall back to
@@ -662,14 +742,14 @@ def read_thgi_subbands(data: bytes):
     ``HGICodec.decode_subbands`` directly — no grid assembly, no device
     re-split.
     """
-    meta, layout, raw, raw_size = read_thgi_payload(data)
+    meta, layout, raw, raw_size = read_thgi_payload(data, freqs)
     if layout != _LAYOUT_SUBBAND:
         raise ValueError("archive is not in subband layout")
     anchors, subbands = _slice_subbands(meta, raw, raw_size)
     return meta, anchors, subbands
 
 
-def read_thgi_preview(data: bytes, upto: int):
+def read_thgi_preview(data: bytes, upto: int, freqs=None):
     """Progressive read: entropy-decode only the payload prefix needed for
     a level-``upto`` preview (see ops.pyramid.decode_preview).
 
@@ -688,7 +768,7 @@ def read_thgi_preview(data: bytes, upto: int):
     )
 
     if layout != _LAYOUT_SUBBAND or tag == _CODEC_BITPACK:
-        archive = read_thgi(data)
+        archive = read_thgi(data, freqs)
         anchors, subbands = split_grid_np(archive.grid, meta.scale_level)
         return meta, anchors, subbands[:upto], upto
 
@@ -698,6 +778,8 @@ def read_thgi_preview(data: bytes, upto: int):
         from ..ops.entropy import rans_decode
 
         raw = rans_decode(body, need)
+    elif tag == _CODEC_RANS_SHARED:
+        raw = _shared_rans_decode(body, need, freqs)
     elif tag == _CODEC_RANS_MT:
         from ..ops.entropy import rans_decode
 
@@ -711,6 +793,14 @@ def read_thgi_preview(data: bytes, upto: int):
 
         pieces = _ctx_pieces(meta)[: 1 + 3 * upto]
         raw = ctx_decode(body, pieces, _ctx_shift(meta))
+    elif tag == _CODEC_CTX_MT:
+        from ..ops.ctxcoder import ctx_decode_mt
+
+        # chunk split derives from the FULL piece table; only chunks
+        # covering the preview prefix are decoded.
+        raw = ctx_decode_mt(
+            body, _ctx_pieces(meta), _ctx_shift(meta), upto_bytes=need
+        )
     else:
         raise ValueError(f"unknown entropy codec tag {tag}")
     if len(raw) < need:
@@ -720,7 +810,7 @@ def read_thgi_preview(data: bytes, upto: int):
     return meta, anchors, subbands, upto
 
 
-def read_preview(data: bytes, upto: int):
+def read_preview(data: bytes, upto: int, freqs=None):
     """Magic-dispatching preview read for single-plane archives.
 
     `.thgi` archives go through :func:`read_thgi_preview` (prefix
@@ -729,7 +819,7 @@ def read_preview(data: bytes, upto: int):
     """
     magic = _magic(data)
     if magic == THGI_MAGIC:
-        return read_thgi_preview(data, upto)
+        return read_thgi_preview(data, upto, freqs)
     archive = read_hgi(data)
     meta = archive.metadata
     anchors, subbands = split_grid_np(archive.grid, meta.scale_level)
@@ -737,9 +827,9 @@ def read_preview(data: bytes, upto: int):
     return meta, anchors, subbands[:upto], upto
 
 
-def read_thgi(data: bytes) -> Archive:
+def read_thgi(data: bytes, freqs=None) -> Archive:
     """Parse a .thgi container into an :class:`Archive` (any layout)."""
-    meta, layout, raw, raw_size = read_thgi_payload(data)
+    meta, layout, raw, raw_size = read_thgi_payload(data, freqs)
 
     if layout == _LAYOUT_ROWMAJOR:
         if raw_size != meta.width * meta.height:
@@ -757,19 +847,116 @@ def read_thgi(data: bytes) -> Archive:
     raise ValueError(f"unknown layout tag {layout}")
 
 
-def write_archive(archive: Archive, fmt: str = "hgi") -> bytes:
+def write_archive(archive: Archive, fmt: str = "hgi", freqs=None) -> bytes:
     if fmt == "hgi":
+        if freqs is not None:
+            raise ValueError(".hgi is the fixed reference layout; "
+                             "shared tables need fmt='thgi'")
         return write_hgi(archive)
     if fmt == "thgi":
-        return write_thgi(archive)
+        return write_thgi(archive, freqs=freqs)
     raise ValueError(f"unknown container format {fmt!r}")
 
 
-def read_archive(data: bytes) -> Archive:
+def read_archive(data: bytes, freqs=None) -> Archive:
     """Auto-detect container format from the magic."""
     magic = _magic(data)
     if magic == HGI_MAGIC:
         return read_hgi(data)
     if magic == THGI_MAGIC:
-        return read_thgi(data)
+        return read_thgi(data, freqs)
     raise ValueError("incorrect magic number")
+
+
+# --------------------------------------------------------------------------
+# Tiled multi-block container (.thgit v2): gigapixel planes as independent
+# per-tile archives with per-block CRC32 (failure detection, VERDICT #8)
+# and an optional once-per-archive shared rANS table (multi-host tier).
+# The reference has no multi-stream container at all (SURVEY.md §5).
+# --------------------------------------------------------------------------
+
+THGIT_MAGIC = 0x7161A555  # v1 (legacy: no CRC, no shared table)
+THGIT2_MAGIC = 0x7161A556  # v2: u8 flags [+ table], u64 len + u32 crc blocks
+
+_THGIT2_FLAG_TABLE = 1
+
+
+def thgit2_header(tile: int, width: int, height: int, n_blocks: int,
+                  freqs=None) -> bytes:
+    """Serialize a .thgit v2 stream header.
+
+    Layout: u32 LE magic, u32 tile, u32 width, u32 height, u32 n_blocks,
+    u8 flags (bit0: shared rANS table follows), [512 B u16 LE table].
+    Blocks follow as ``u64 LE length, u32 LE crc32(block), block bytes``
+    in row-major tile order; each block is a standalone .hgi/.thgi
+    archive (possibly table-stripped shared-rANS coded).
+    """
+    flags = 0
+    table = b""
+    if freqs is not None:
+        flags |= _THGIT2_FLAG_TABLE
+        table = _check_freqs(freqs).tobytes()
+    return (
+        struct.pack(
+            "<IIIIIB", THGIT2_MAGIC, tile, width, height, n_blocks, flags
+        )
+        + table
+    )
+
+
+def thgit2_block_frame(block: bytes) -> bytes:
+    """Frame one tile block: u64 LE length + u32 LE CRC32 + bytes."""
+    return struct.pack("<QI", len(block), zlib.crc32(block)) + block
+
+
+def parse_thgit(data: bytes):
+    """Parse a tiled container (v1 or v2) with integrity checking.
+
+    Returns ``(tile, width, height, blocks, freqs)`` where ``blocks`` is
+    the complete list of per-tile archives in row-major order and
+    ``freqs`` the shared rANS table (or None).  v2 blocks are CRC32
+    verified; a mismatch raises ValueError naming the block index —
+    the precise corrupt-block surfacing of the failure-detection tier.
+    """
+    if len(data) < 20:
+        raise ValueError("truncated tiled archive")
+    magic, tile, width, height, n = struct.unpack_from("<IIIII", data, 0)
+    if magic == THGIT_MAGIC:
+        off, v2 = 20, False
+        freqs = None
+    elif magic == THGIT2_MAGIC:
+        if len(data) < 21:
+            raise ValueError("truncated tiled archive")
+        (flags,) = struct.unpack_from("<B", data, 20)
+        off, v2 = 21, True
+        freqs = None
+        if flags & _THGIT2_FLAG_TABLE:
+            if len(data) < off + _RANS_TABLE_BYTES:
+                raise ValueError("truncated shared table")
+            freqs = np.frombuffer(
+                data, dtype="<u2", count=256, offset=off
+            ).copy()
+            off += _RANS_TABLE_BYTES
+    else:
+        raise ValueError("incorrect magic number")
+    if tile == 0:
+        raise ValueError("implausible tiled header (zero tile size)")
+    blocks = []
+    for i in range(n):
+        hdr = 12 if v2 else 8
+        if off + hdr > len(data):
+            raise ValueError(f"truncated at block {i}/{n}")
+        if v2:
+            blen, crc = struct.unpack_from("<QI", data, off)
+        else:
+            (blen,) = struct.unpack_from("<Q", data, off)
+            crc = None
+        off += hdr
+        if blen > len(data) - off:
+            raise ValueError(f"truncated at block {i}/{n}")
+        block = data[off : off + blen]
+        off += blen
+        if crc is not None and zlib.crc32(block) != crc:
+            raise ValueError(f"CRC mismatch in block {i}/{n}")
+        blocks.append(block)
+    return tile, width, height, blocks, freqs

@@ -126,17 +126,18 @@ def test_codec_compile_warmup():
 def test_tiled_resume(workdir, png):
     import struct
 
-    # Full run, then truncate to a partial prefix and resume.
+    # Full run, then truncate to a partial prefix and resume (v2 framing:
+    # u8 flags header byte, u64 length + u32 CRC per block).
     assert main(
         ["encode-tiled", "-i", png, "-o", "r.thgit", "--tile", "16",
          "-q", "lossless"]
     ) == 0
     full = open("r.thgit", "rb").read()
     # keep header + first 2 complete blocks (+ a garbage partial tail)
-    off, k = 20, 0
+    off, k = 21, 0
     while k < 2:
         (blen,) = struct.unpack_from("<Q", full, off)
-        off += 8 + blen
+        off += 12 + blen
         k += 1
     open("r.thgit", "wb").write(full[:off] + b"\x07\x07\x07")
     assert main(
@@ -152,6 +153,38 @@ def test_tiled_resume(workdir, png):
     assert open("r.thgit", "rb").read() == full
     assert main(["decode-tiled", "-i", "r.thgit", "-o", "r.png"]) == 0
     assert np.array_equal(load_luma("r.png"), synthetic_image(40, 24))
+
+
+def test_tiled_resume_after_corruption(workdir, png):
+    # A CRC-corrupt block ends the valid prefix: resume rewrites from it.
+    assert main(
+        ["encode-tiled", "-i", png, "-o", "c.thgit", "--tile", "16",
+         "-q", "lossless"]
+    ) == 0
+    full = bytearray(open("c.thgit", "rb").read())
+    full[-2] ^= 0xA5  # corrupt the LAST block's payload
+    open("c.thgit", "wb").write(bytes(full))
+    # decode must surface the corrupt block precisely
+    assert main(["decode-tiled", "-i", "c.thgit", "-o", "c.png"]) == 1
+    assert main(
+        ["encode-tiled", "-i", png, "-o", "c.thgit", "--tile", "16",
+         "-q", "lossless", "--resume"]
+    ) == 0
+    assert main(["decode-tiled", "-i", "c.thgit", "-o", "c.png"]) == 0
+    assert np.array_equal(load_luma("c.png"), synthetic_image(40, 24))
+
+
+def test_tiled_shared_table(workdir, png):
+    from rustyhgi_tpu.utils.container import parse_thgit
+
+    assert main(
+        ["encode-tiled", "-i", png, "-o", "s.thgit", "--tile", "16",
+         "-q", "lossless", "--format", "thgi", "--shared-table"]
+    ) == 0
+    _, _, _, _, freqs = parse_thgit(open("s.thgit", "rb").read())
+    assert freqs is not None and int(freqs.sum()) == 1 << 14
+    assert main(["decode-tiled", "-i", "s.thgit", "-o", "s.png"]) == 0
+    assert np.array_equal(load_luma("s.png"), synthetic_image(40, 24))
 
 
 def test_export_serialized_roundtrip():

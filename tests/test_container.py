@@ -177,3 +177,79 @@ def test_truncation_fuzz_never_crashes(rng):
                 read_archive(blob[:cut])
             except (ValueError, zlib.error, struct.error, EOFError):
                 pass
+
+
+# -- shared-table rANS + tiled v2 container (multi-host tier) ---------------
+
+
+def test_shared_table_write_read_roundtrip():
+    from rustyhgi_tpu.ops.entropy import normalized_freqs
+
+    a = make_archive(w=32, h=24, levels=3)
+    freqs = normalized_freqs(np.bincount(a.grid.reshape(-1), minlength=256))
+    blob = write_thgi(a, freqs=freqs, codecs=("rans_shared",))
+    b = read_thgi(blob, freqs=freqs)
+    assert np.array_equal(b.grid, a.grid)
+    # the 512-byte table prefix is stripped from the stream
+    full = write_thgi(a, codecs=("rans",))
+    assert len(blob) <= len(full) - 500
+
+
+def test_shared_table_requires_freqs_on_read():
+    from rustyhgi_tpu.ops.entropy import normalized_freqs
+
+    a = make_archive(w=32, h=24, levels=3)
+    freqs = normalized_freqs(np.bincount(a.grid.reshape(-1), minlength=256))
+    blob = write_thgi(a, freqs=freqs, codecs=("rans_shared",))
+    with pytest.raises(ValueError, match="shared coder table"):
+        read_thgi(blob)
+    # and a WRONG table must not silently decode to the right bytes
+    wrong = normalized_freqs(np.arange(1, 257))
+    try:
+        c = read_thgi(blob, freqs=wrong)
+        assert not np.array_equal(c.grid, a.grid)
+    except ValueError:
+        pass  # stream-level rejection is equally acceptable
+
+
+def test_shared_table_validation():
+    a = make_archive()
+    with pytest.raises(ValueError, match="summing"):
+        write_thgi(a, freqs=np.ones(256, np.uint16))
+
+
+def test_thgit2_container_roundtrip_and_crc():
+    from rustyhgi_tpu.utils.container import (
+        parse_thgit,
+        thgit2_block_frame,
+        thgit2_header,
+    )
+
+    blocks = [write_thgi(make_archive(w=16, h=16)) for _ in range(4)]
+    blob = thgit2_header(16, 32, 32, 4, None) + b"".join(
+        thgit2_block_frame(b) for b in blocks
+    )
+    tile, w, h, got, freqs = parse_thgit(blob)
+    assert (tile, w, h, freqs) == (16, 32, 32, None)
+    assert got == blocks
+
+    # flip one payload byte -> the CRC names the corrupt block
+    bad = bytearray(blob)
+    bad[-3] ^= 0x5A
+    with pytest.raises(ValueError, match="CRC mismatch in block 3"):
+        parse_thgit(bytes(bad))
+
+    # truncation -> precise error, no allocation bomb
+    with pytest.raises(ValueError, match="truncated"):
+        parse_thgit(blob[: len(blob) // 2])
+
+
+def test_thgit2_header_stores_table_once():
+    from rustyhgi_tpu.ops.entropy import normalized_freqs
+    from rustyhgi_tpu.utils.container import parse_thgit, thgit2_header
+
+    freqs = normalized_freqs(np.bincount(make_archive().grid.reshape(-1), minlength=256))
+    blob = thgit2_header(8, 8, 8, 0, freqs)
+    tile, w, h, blocks, got = parse_thgit(blob)
+    assert blocks == [] and np.array_equal(got, freqs)
+    assert len(blob) == 21 + 512

@@ -144,3 +144,104 @@ def test_malformed_streams_no_crash_and_backend_consistent():
         assert py_ctx_decode(enc[:cut], pieces) == native.native_ctx_decompress(
             enc[:cut], pieces
         )
+
+
+# -- chunk-parallel (ctx_mt) framing ----------------------------------------
+
+
+def test_ctx_mt_roundtrip_all_k_and_spec_chunks():
+    """MT framing round-trips for every chunk count; each chunk is a
+    standard single stream (decodable by the PYTHON spec coder on the
+    recomputed sub-piece table) — the MT layer adds framing only."""
+    import struct
+
+    from rustyhgi_tpu.ops.ctxcoder import (
+        ctx_decode_mt,
+        ctx_encode_mt,
+        split_pieces,
+    )
+
+    rng = np.random.default_rng(11)
+    pieces = [(9, 13, 0), (8, 12, 1), (8, 12, 1), (16, 24, 2), (32, 48, 3)]
+    total = sum(h * w for h, w, _ in pieces)
+    payload = (rng.integers(0, 5, total, dtype=np.uint8)).tobytes()
+    for k in (1, 2, 3, 8):
+        blob = ctx_encode_mt(payload, pieces, 5, k=k)
+        assert ctx_decode_mt(blob, pieces, 5)[:total] == payload
+        # cross-check chunk 0 against the Python spec decoder
+        lens = struct.unpack_from(f"<{k}I", blob, 1)
+        head = 1 + 4 * k
+        lo, sub = split_pieces(pieces, k)[0]
+        sz = sum(h * w for h, w, _ in sub)
+        assert (
+            py_ctx_decode(blob[head : head + lens[0]], sub, 5)[:sz]
+            == payload[lo : lo + sz]
+        )
+
+
+def test_ctx_mt_split_properties():
+    from rustyhgi_tpu.ops.ctxcoder import split_pieces
+
+    pieces = [(5, 7, 0), (20, 31, 1), (20, 31, 1), (40, 62, 2)]
+    total = sum(h * w for h, w, _ in pieces)
+    for k in (1, 2, 3, 5, 8):
+        spans = split_pieces(pieces, k)
+        assert len(spans) == k and spans[0][0] == 0
+        sizes = [sum(h * w for h, w, _ in sub) for _, sub in spans]
+        assert sum(sizes) == total
+        # anchors piece (group 0) never split
+        n_anchor = sum(
+            1 for _, sub in spans for h, w, g in sub if g == 0 and h * w > 0
+        )
+        assert n_anchor == 1
+        # offsets are consistent with sizes (contiguity)
+        offs = [lo for lo, _ in spans]
+        for j in range(k):
+            assert offs[j] == sum(sizes[:j])
+
+
+def test_ctx_mt_malformed_streams():
+    from rustyhgi_tpu.ops.ctxcoder import ctx_decode_mt, ctx_encode_mt
+
+    rng = np.random.default_rng(3)
+    pieces = [(4, 8, 1), (4, 8, 1)]
+    payload = rng.integers(0, 3, 64, dtype=np.uint8).tobytes()
+    blob = ctx_encode_mt(payload, pieces, 5, k=2)
+    for bad in (b"", blob[:1], blob[:5], b"\x00" + blob[1:],
+                b"\xff" + blob[1:], blob[: len(blob) // 2]):
+        try:
+            ctx_decode_mt(bad, pieces, 5)
+        except ValueError:
+            pass  # precise rejection is the contract
+        # (a short-but-parseable stream may decode garbage bytes — the
+        # container layer's raw_size check rejects it upstream)
+
+
+def test_container_ctx_mt_roundtrip():
+    """write_thgi picks the MT framing for large subband payloads and
+    read_thgi/read_thgi_preview decode it."""
+    from rustyhgi_tpu.ops import ctxcoder
+    from rustyhgi_tpu.utils.container import (
+        _CODEC_CTX_MT,
+        Archive,
+        Interpolation,
+        Metadata,
+        read_preview,
+        read_thgi,
+        write_thgi,
+    )
+    from rustyhgi_tpu.ops.quantizers import QuantizationLevel
+
+    rng = np.random.default_rng(5)
+    h, w = 96, 128
+    grid = (rng.integers(0, 3, (h, w)) % 256).astype(np.uint8)
+    meta = Metadata(QuantizationLevel.LOSSLESS, Interpolation.CROSSED, w, h, 3)
+    a = Archive(meta, grid)
+    blob = write_thgi(a, layouts=("subband",), codecs=("ctx_mt",))
+    assert blob[len(blob) - len(blob) + 4 + _METADATA.size + 1] in (
+        _CODEC_CTX_MT,
+    )  # codec tag byte
+    b = read_thgi(blob)
+    assert np.array_equal(b.grid, grid)
+    meta2, anchors, subs, upto = read_preview(blob, 1)
+    assert upto == 1 and anchors.size > 0

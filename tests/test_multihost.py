@@ -1,27 +1,37 @@
-"""True multi-process distributed test.
+"""True multi-process distributed tests.
 
 Spawns two OS processes that jax.distributed-initialize against each other
 (CPU backend, 4 virtual devices each -> 8 global), run the tiled
-multi-host encode, gather blocks over the coordinator transport, and
-verify the lossless roundtrip on process 0.  This exercises the actual
-cross-process path (global arrays spanning non-addressable devices, DCN
-allgather) that single-process tests cannot.
+multi-host encode/decode, and verify the VERDICT #2 contract:
+
+* per-process block bytes are produced LOCALLY (each process entropy-codes
+  a non-empty, disjoint share of the tiles);
+* the gathered archive is byte-identical on every process AND identical
+  to a single-process run over the same 8-device mesh (any process
+  count -> same bytes);
+* DCN traffic for the gather is at compressed scale, never raw W*H;
+* the multi-host DECODE driver round-trips the plane on every process;
+* the shared-table path derives one global rANS table (identical
+  digests) and its .thgit v2 serialization stores the table once.
 """
 
+import hashlib
 import os
 import socket
 import subprocess
 import sys
 import textwrap
 
+import numpy as np
 import pytest
 
 _WORKER = textwrap.dedent(
     """
     import os, sys
     proc_id, nprocs, port, repo = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+    ndev = int(sys.argv[5]) if len(sys.argv) > 5 else 4
     os.environ["JAX_PLATFORMS"] = "cpu"
-    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    os.environ["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={ndev}"
     sys.path.insert(0, repo)
     import jax
     jax.config.update("jax_platforms", "cpu")
@@ -31,54 +41,55 @@ _WORKER = textwrap.dedent(
         process_id=proc_id,
     )
     assert jax.process_count() == nprocs
-    assert len(jax.devices()) == 4 * nprocs
+    assert len(jax.devices()) == ndev * nprocs
 
+    import hashlib
     import numpy as np
-    from rustyhgi_tpu.parallel.multihost import encode_tiled_multihost
+    from rustyhgi_tpu.parallel.multihost import (
+        decode_tiled_multihost, encode_tiled_multihost, write_thgit_multihost,
+    )
     from rustyhgi_tpu.ops.quantizers import QuantizationLevel
 
-    rng = np.random.default_rng(0)
-    plane = rng.integers(0, 256, (64, 64), np.uint8)
+    # Smooth synthetic plane: residuals compress well, so the
+    # compressed-vs-raw DCN assertion is meaningful.
+    xx, yy = np.meshgrid(np.arange(64), np.arange(64))
+    plane = (((xx * 3 + yy * 2) // 4) % 256).astype(np.uint8)
 
-    # Broadcast coder tables: the psum'd global histogram must yield the
-    # identical rANS table (and identical compressed bytes for the same
-    # block) on EVERY process — the cross-host determinism the multi-host
-    # coder relies on.
-    from rustyhgi_tpu.parallel.mesh import make_mesh
-    from rustyhgi_tpu.parallel.sharded import (
-        encode_batch_sharded, pad_batch, tile_plane,
+    res = encode_tiled_multihost(
+        plane, (16, 16), 3, QuantizationLevel.LOSSLESS, fmt="thgi",
+        shared_table=True,
     )
-    from rustyhgi_tpu.ops.entropy import normalized_freqs, rans_encode
 
-    tiles, _ = tile_plane(plane, (16, 16))
-    mesh = make_mesh()
-    padded, _ = pad_batch(tiles, mesh.devices.size)
-    _, _, hist = encode_batch_sharded(
-        padded, 3, QuantizationLevel.LOSSLESS, mesh=mesh, with_histogram=True
+    # 1. Local production: every process coded a non-empty share.
+    assert len(res.local_indices) > 0, "process coded no tiles"
+    print(f"LOCAL {proc_id} {','.join(map(str, res.local_indices))}", flush=True)
+
+    # 2. Identical gathered bytes on every process.
+    digest = hashlib.sha256(b"".join(res.blocks)).hexdigest()
+    print(f"BLOCKS_DIGEST {digest}", flush=True)
+
+    # 3. DCN at compressed scale: the gather payload must be well under
+    # the raw plane (and of the same order as the compressed bytes).
+    raw = plane.size
+    assert res.dcn_payload_bytes < raw, (
+        f"gather shipped {res.dcn_payload_bytes} B for a {raw} B plane"
     )
-    table = normalized_freqs(np.asarray(hist))
-    shared_blob = rans_encode(tiles[0].tobytes(), table)
-    digest = __import__("hashlib").sha256(
-        table.tobytes() + shared_blob
-    ).hexdigest()
-    print(f"TABLE_DIGEST {digest}", flush=True)
+    print(f"DCN {res.dcn_payload_bytes} COMPRESSED {res.compressed_bytes} RAW {raw}", flush=True)
 
-    blocks = encode_tiled_multihost(
-        plane, (16, 16), 3, QuantizationLevel.LOSSLESS, fmt="hgi"
+    # 4. Shared table: identical on both processes.
+    tdig = hashlib.sha256(res.freqs.tobytes()).hexdigest()
+    print(f"TABLE_DIGEST {tdig}", flush=True)
+
+    # 5. v2 container with the table stored once.
+    blob = write_thgit_multihost(res, 16)
+    print(f"THGIT_DIGEST {hashlib.sha256(blob).hexdigest()}", flush=True)
+
+    # 6. Multi-host decode: every process reconstructs the full plane.
+    dec = decode_tiled_multihost(
+        res.blocks, res.shape, (16, 16), freqs=res.freqs
     )
-    if proc_id == 0:
-        assert blocks is not None and len(blocks) == 16
-        from rustyhgi_tpu.utils.container import read_archive
-        from rustyhgi_tpu.parallel.sharded import untile_plane
-        from rustyhgi_tpu.models.codec import HGICodec
-
-        tiles = np.stack([read_archive(b).grid for b in blocks])
-        dec = np.asarray(HGICodec(3).decode_plane(tiles))
-        assert np.array_equal(untile_plane(dec, (64, 64)), plane)
-        print("MULTIHOST_OK", flush=True)
-    else:
-        assert blocks is None
-        print("WORKER_OK", flush=True)
+    assert np.array_equal(dec, plane), "multi-host decode mismatch"
+    print("ROUNDTRIP_OK", flush=True)
     """
 )
 
@@ -89,7 +100,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_tiled_encode(tmp_path):
+def _run_workers(tmp_path, nprocs: int):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     script = tmp_path / "worker.py"
     script.write_text(_WORKER)
@@ -101,18 +112,18 @@ def test_two_process_tiled_encode(tmp_path):
     }
     procs = [
         subprocess.Popen(
-            [sys.executable, str(script), str(i), "2", port, repo],
+            [sys.executable, str(script), str(i), str(nprocs), port, repo],
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             text=True,
             env=env,
         )
-        for i in range(2)
+        for i in range(nprocs)
     ]
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=240)
+            out, _ = p.communicate(timeout=300)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -120,14 +131,69 @@ def test_two_process_tiled_encode(tmp_path):
         outs.append(out)
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
-    assert "MULTIHOST_OK" in outs[0]
-    assert "WORKER_OK" in outs[1]
-    # Both processes derived the identical shared coder table and produced
-    # identical compressed bytes from it.
-    digests = [
-        line.split()[1]
+    return outs
+
+
+def _grab(outs, tag):
+    return [
+        line.split(None, 1)[1]
         for out in outs
         for line in out.splitlines()
-        if line.startswith("TABLE_DIGEST")
+        if line.startswith(tag + " ")
     ]
-    assert len(digests) == 2 and digests[0] == digests[1]
+
+
+def test_two_process_tiled_encode_decode(tmp_path):
+    outs = _run_workers(tmp_path, 2)
+    for out in outs:
+        assert "ROUNDTRIP_OK" in out
+
+    # Disjoint local shares covering all 16 tiles.
+    locals_ = _grab(outs, "LOCAL")
+    assert len(locals_) == 2
+    shares = [set(map(int, entry.split()[1].split(","))) for entry in locals_]
+    assert shares[0].isdisjoint(shares[1])
+    assert shares[0] | shares[1] == set(range(16))
+
+    # Identical gathered bytes, tables, and containers on both processes.
+    for tag in ("BLOCKS_DIGEST", "TABLE_DIGEST", "THGIT_DIGEST"):
+        d = _grab(outs, tag)
+        assert len(d) == 2 and d[0] == d[1], f"{tag} differs across processes"
+
+    # DCN payload at compressed scale (asserted in-worker; sanity here).
+    dcn_lines = _grab(outs, "DCN")
+    assert len(dcn_lines) == 2
+    for line in dcn_lines:
+        parts = line.split()
+        dcn, raw = int(parts[0]), int(parts[4])
+        assert 0 < dcn < raw
+
+
+def test_process_count_invariance(tmp_path):
+    """1-process and 2-process runs over the same 8-device global mesh
+    produce byte-identical archives (any-process-count determinism).
+    The single-process run gets 8 virtual devices so the mesh (and tile
+    padding) matches the 2x4 distributed run."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = tmp_path / "single.py"
+    script.write_text(_WORKER)
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("JAX_PLATFORMS", "XLA_FLAGS")
+    }
+    p = subprocess.run(
+        [sys.executable, str(script), "0", "1", str(_free_port()), repo, "8"],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+    )
+    assert p.returncode == 0, p.stdout[-3000:] + p.stderr[-2000:]
+    single_digest = _grab([p.stdout], "THGIT_DIGEST")
+    two = _run_workers(tmp_path, 2)
+    two_digest = _grab(two, "THGIT_DIGEST")
+    assert single_digest and two_digest
+    assert single_digest[0] == two_digest[0], (
+        "archive bytes depend on process count"
+    )

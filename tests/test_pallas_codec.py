@@ -145,3 +145,34 @@ def test_tiny_and_edge_shapes():
             np.asarray(decode_plane_pallas(grid_o, 2)),
             oracle_decode(grid_o, 2),
         ), shape
+
+
+def test_swar_lossless_batches():
+    """SWAR (two images per int32 lane) engages for lossless batches >= 2:
+    even, odd (zero-pad), and multi-tile; bit-exact per image vs oracle."""
+    q = quantize_fn(QuantizationLevel.LOSSLESS)
+    for n in (2, 3, 4):
+        imgs = np.stack([_img(44, 60) for _ in range(n)])
+        grids, recons = encode_plane_pallas(imgs, 3, q, tile_rows=32)
+        for k in range(n):
+            grid_o = oracle_encode(imgs[k], 3, QuantizationLevel.LOSSLESS)
+            assert np.array_equal(np.asarray(grids[k]), grid_o), (n, k)
+            assert np.array_equal(np.asarray(recons[k]), imgs[k]), (n, k)
+        dec = decode_plane_pallas(np.asarray(grids), 3, tile_rows=32)
+        for k in range(n):
+            assert np.array_equal(np.asarray(dec[k]), imgs[k]), (n, k)
+
+
+def test_swar_left_top_and_deep_levels():
+    q = quantize_fn(QuantizationLevel.LOSSLESS)
+    imgs = np.stack([_img(40, 48), _img(40, 48)[::-1].copy()])
+    for levels, pred in ((2, "left_top"), (6, "crossed")):
+        grids, _ = encode_plane_pallas(imgs, levels, q, pred)
+        for k in range(2):
+            grid_o = oracle_encode(
+                imgs[k], levels, QuantizationLevel.LOSSLESS, pred
+            )
+            assert np.array_equal(np.asarray(grids[k]), grid_o), (levels, pred)
+        dec = decode_plane_pallas(np.asarray(grids), levels, pred)
+        for k in range(2):
+            assert np.array_equal(np.asarray(dec[k]), imgs[k]), (levels, pred)

@@ -87,19 +87,27 @@ def test_tiled_sharded_e2e_lossless():
 
 
 def test_multihost_driver_single_process():
-    from rustyhgi_tpu.parallel.multihost import encode_tiled_multihost
+    from rustyhgi_tpu.parallel.multihost import (
+        decode_tiled_multihost,
+        encode_tiled_multihost,
+    )
     from rustyhgi_tpu.utils.container import read_archive
 
     rng = np.random.default_rng(5)
     plane = rng.integers(0, 256, size=(64, 64), dtype=np.uint8)
-    blocks = encode_tiled_multihost(
+    res = encode_tiled_multihost(
         plane, (32, 32), 3, QuantizationLevel.LOSSLESS, fmt="hgi"
     )
-    assert blocks is not None and len(blocks) == 4
-    tiles = np.stack([read_archive(b).grid for b in blocks])
+    assert len(res.blocks) == 4
+    assert res.dcn_payload_bytes == 0  # single process: nothing crosses DCN
+    assert sorted(res.local_indices) == [0, 1, 2, 3]
+    tiles = np.stack([read_archive(b).grid for b in res.blocks])
     codec = HGICodec(levels=3)
     decoded = np.asarray(codec.decode_plane(tiles))
     assert np.array_equal(untile_plane(decoded, (64, 64)), plane)
+    # the distributed decode driver agrees
+    dec = decode_tiled_multihost(res.blocks, res.shape, (32, 32))
+    assert np.array_equal(dec, plane)
 
 
 def test_sharded_calls_are_cached(batch):
