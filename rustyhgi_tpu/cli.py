@@ -227,7 +227,7 @@ def cmd_test(args) -> int:
     grid = _make_grid(
         image, args.level, quant, args.backend, predictor=args.predictor
     )
-    decoded = _decode_grid(grid, args.level, args.backend)
+    decoded = _decode_grid(grid, args.level, args.backend, predictor=args.predictor)
     archive = Archive(codec.metadata_for(*image.shape), grid)
     blob = write_archive(archive, args.format)
 

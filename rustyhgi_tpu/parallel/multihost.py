@@ -142,6 +142,7 @@ def _gather_blocks(
 
     got = {}
     corrupt = []
+    dups: List[Tuple[int, int]] = []  # (process, tile): assignment bugs
     if jax.process_count() == 1:
         got = dict(local)
         dcn = 0
@@ -172,9 +173,18 @@ def _gather_blocks(
                     corrupt.append(i)
                     continue
                 if i in got:
-                    corrupt.append(i)  # duplicate assignment: driver bug
+                    # NOT transport corruption: two processes claimed the
+                    # same tile.  Report it as the driver/assignment bug
+                    # it is, so diagnosis isn't misdirected at DCN.
+                    dups.append((p, i))
                     continue
                 got[i] = block
+    if dups:
+        procs = sorted({p for p, _ in dups})
+        raise TileCodingError(
+            f"duplicate tile assignment (driver bug) from processes {procs}",
+            sorted({i for _, i in dups}),
+        )
     if corrupt:
         raise TileCodingError("corrupt blocks after DCN gather", corrupt)
     missing = [i for i in range(n_tiles) if i not in got]
@@ -320,9 +330,23 @@ def decode_tiled_multihost(
     sharding = NamedSharding(mesh, P((DATA_AXIS, TILE_AXIS)))
     global_shape = (B, th, tw)
 
-    levels = interp = None
+    # (levels, interp) come from block 0: every process holds the FULL
+    # block list, so every process compiles the identical collective
+    # program even when its own mesh shards contain only batch-padding
+    # slots (n_tiles < global device count) — learning metadata only from
+    # locally-owned blocks would make such a process raise while its
+    # peers enter the collective, a cross-process hang.  Blocks with
+    # mismatching metadata are rejected below (one archive = one program).
+    try:
+        head = read_archive(bytes(blocks[0]), freqs=freqs)
+    except Exception:
+        raise TileCodingError("undecodable blocks", [0])
+    levels = head.metadata.scale_level
+    interp = head.metadata.interpolation
+
     arrays = []
     bad: List[int] = []
+    mismatched: List[int] = []
     for dev, idx in sharding.addressable_devices_indices_map(
         global_shape
     ).items():
@@ -339,21 +363,26 @@ def decode_tiled_multihost(
             if archive.grid.shape != (th, tw):
                 bad.append(gi)
                 continue
+            if (
+                archive.metadata.scale_level != levels
+                or archive.metadata.interpolation != interp
+            ):
+                mismatched.append(gi)
+                continue
             chunk[j] = archive.grid
-            levels = archive.metadata.scale_level
-            interp = archive.metadata.interpolation
         arrays.append(jax.device_put(chunk, dev))
     if bad:
         raise TileCodingError("undecodable blocks", bad)
-    if levels is None:
-        raise ValueError("no local tiles decoded (empty mesh shard?)")
+    if mismatched:
+        raise TileCodingError(
+            "blocks disagree with block 0's (levels, interpolation) metadata",
+            mismatched,
+        )
     grids = jax.make_array_from_single_device_arrays(
         global_shape, sharding, arrays
     )
-    # Every process that owns tiles learned (levels, interp) from its own
-    # blocks; all blocks share one metadata by construction.  The decode
-    # honors the archives' interpolation tag (reference main.rs:67
-    # hardcodes Crossed — a bug this framework fixes).
+    # The decode honors the archives' interpolation tag (reference
+    # main.rs:67 hardcodes Crossed — a bug this framework fixes).
     decoded = decode_batch_sharded(
         grids, int(levels), mesh=mesh,
         predictor=predictor_name_for_tag(int(interp)),

@@ -433,6 +433,16 @@ def _entropy_candidate_jobs(
         def _rans_shared():
             from ..ops.entropy import rans_encode
 
+            # A caller-supplied table must cover every byte present in
+            # the payload: a zero frequency makes the NATIVE coder divide
+            # by zero (SIGFPE — whole-process abort, unlike the Python
+            # mirror whose exception the candidate race swallows).
+            present = np.unique(np.frombuffer(raw, np.uint8))
+            if present.size and not np.all(freqs[present] > 0):
+                missing = [int(b) for b in present[freqs[present] == 0][:8]]
+                raise ValueError(
+                    f"shared freq table assigns 0 to payload bytes {missing}"
+                )
             return rans_encode(raw, freqs)[_RANS_TABLE_BYTES:]
 
         jobs.append((_CODEC_RANS_SHARED, _rans_shared))

@@ -50,6 +50,16 @@ def test_test_subcommand_outputs(workdir, png, capsys):
     assert os.path.exists("img_t.hgi")
 
 
+def test_test_subcommand_honors_predictor(workdir, png, capsys):
+    # Regression: cmd_test must decode with the SAME predictor it encoded
+    # with — a left_top lossless roundtrip has SD exactly 0.00.
+    assert main(
+        ["test", png, "-q", "lossless", "-s", "_lt", "--predictor", "left_top"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "SD:           0.00" in out
+
+
 def test_error_paths(workdir, png, capsys):
     with open("junk.bin", "wb") as f:
         f.write(b"\x01" * 64)

@@ -218,6 +218,22 @@ def test_shared_table_validation():
         write_thgi(a, freqs=np.ones(256, np.uint16))
 
 
+def test_shared_table_noncovering_freqs_never_reach_native():
+    # A table assigning freq 0 to a byte present in the payload must not
+    # reach the native coder (division by zero -> SIGFPE, whole-process
+    # abort).  The rans_shared candidate is guarded: the write falls back
+    # to the other codecs and the archive stays decodable without freqs.
+    a = make_archive(w=32, h=24, levels=3)
+    present = np.unique(a.grid)
+    assert present.size >= 2
+    bad = np.zeros(256, np.int64)
+    # all mass on one symbol that DOES occur, zero for the rest
+    bad[int(present[0])] = 1 << 14
+    blob = write_thgi(a, freqs=bad.astype(np.uint16))
+    b = read_thgi(blob)  # fell back to a self-contained codec
+    assert np.array_equal(b.grid, a.grid)
+
+
 def test_thgit2_container_roundtrip_and_crc():
     from rustyhgi_tpu.utils.container import (
         parse_thgit,

@@ -94,16 +94,54 @@ _WORKER = textwrap.dedent(
 )
 
 
+_PAD_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    proc_id, nprocs, port, repo = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+    ndev = int(sys.argv[5]) if len(sys.argv) > 5 else 4
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={ndev}"
+    sys.path.insert(0, repo)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=nprocs,
+        process_id=proc_id,
+    )
+    import numpy as np
+    from rustyhgi_tpu.parallel.multihost import (
+        decode_tiled_multihost, encode_tiled_multihost,
+    )
+    from rustyhgi_tpu.ops.quantizers import QuantizationLevel
+
+    # 4 tiles on an 8-device 2-process mesh: after batch padding to 8,
+    # process 1's shards hold ONLY padding slots.  The decode driver must
+    # not raise on that process (it would desert the collective and hang
+    # its peer); metadata comes from blocks[0], held by every process.
+    xx, yy = np.meshgrid(np.arange(32), np.arange(32))
+    plane = ((xx + yy) % 256).astype(np.uint8)
+    res = encode_tiled_multihost(
+        plane, (16, 16), 3, QuantizationLevel.LOSSLESS, fmt="thgi",
+    )
+    assert len(res.blocks) == 4
+    dec = decode_tiled_multihost(res.blocks, res.shape, (16, 16))
+    assert np.array_equal(dec, plane), "padded-shard decode mismatch"
+    print("PAD_ROUNDTRIP_OK", flush=True)
+    """
+)
+
+
 def _free_port() -> int:
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         return s.getsockname()[1]
 
 
-def _run_workers(tmp_path, nprocs: int):
+def _run_workers(tmp_path, nprocs: int, worker_src: str = _WORKER):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     script = tmp_path / "worker.py"
-    script.write_text(_WORKER)
+    script.write_text(worker_src)
     port = str(_free_port())
     env = {
         k: v
@@ -167,6 +205,14 @@ def test_two_process_tiled_encode_decode(tmp_path):
         parts = line.split()
         dcn, raw = int(parts[0]), int(parts[4])
         assert 0 < dcn < raw
+
+
+def test_padding_only_shard_decode(tmp_path):
+    # Regression (ADVICE r2 #1): a process whose shards are all batch
+    # padding must still join the collective decode instead of raising.
+    outs = _run_workers(tmp_path, 2, worker_src=_PAD_WORKER)
+    for out in outs:
+        assert "PAD_ROUNDTRIP_OK" in out
 
 
 def test_process_count_invariance(tmp_path):
