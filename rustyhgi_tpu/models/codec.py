@@ -117,11 +117,11 @@ class HGICodec:
 
     # -- device compute path ------------------------------------------------
 
-    def _encode_fn(self, shape: Tuple[int, int]):
+    def _encode_fn(self, shape: Tuple[int, ...]):
         fn = self._encode_cache.get(shape)
         if fn is None:
             levels, quant = self.levels, self._quantize_fn()
-            if self._use_pallas(shape, need_quantize=True):
+            if self._use_pallas(shape[-2:], need_quantize=True):
                 from ..ops.pallas_codec import encode_plane_pallas
 
                 pred_name = self.predictor
@@ -138,11 +138,11 @@ class HGICodec:
             self._encode_cache[shape] = fn
         return fn
 
-    def _decode_fn(self, shape: Tuple[int, int]):
+    def _decode_fn(self, shape: Tuple[int, ...]):
         fn = self._decode_cache.get(shape)
         if fn is None:
             levels = self.levels
-            if self._use_pallas(shape, need_quantize=False):
+            if self._use_pallas(shape[-2:], need_quantize=False):
                 from ..ops.pallas_codec import decode_plane_pallas
 
                 pred_name = self.predictor
@@ -160,25 +160,24 @@ class HGICodec:
     def encode_plane(self, image) -> Tuple[jax.Array, jax.Array]:
         """uint8 [H, W] (or [B, H, W]) image -> (residual grid, reconstruction).
 
-        Pure device computation; batched inputs are vmapped.
+        Pure device computation.  Batched inputs go straight to the
+        backend's native batch entry (never through ``jax.vmap``): the
+        fused Pallas kernel runs batch as a grid dimension and engages
+        its two-images-per-lane SWAR mode only when it sees ``n >= 2``
+        at the top level, and the XLA path maps over leading dims
+        natively.
         """
         image = jnp.asarray(image, dtype=jnp.uint8)
-        if image.ndim == 2:
-            return self._encode_fn(image.shape)(image)
-        if image.ndim == 3:
-            fn = self._encode_fn(image.shape[1:])
-            return jax.vmap(fn)(image)
-        raise ValueError(f"expected [H, W] or [B, H, W], got {image.shape}")
+        if image.ndim not in (2, 3):
+            raise ValueError(f"expected [H, W] or [B, H, W], got {image.shape}")
+        return self._encode_fn(image.shape)(image)
 
     def decode_plane(self, grid) -> jax.Array:
         """uint8 [H, W] (or [B, H, W]) residual grid -> image."""
         grid = jnp.asarray(grid, dtype=jnp.uint8)
-        if grid.ndim == 2:
-            return self._decode_fn(grid.shape)(grid)
-        if grid.ndim == 3:
-            fn = self._decode_fn(grid.shape[1:])
-            return jax.vmap(fn)(grid)
-        raise ValueError(f"expected [H, W] or [B, H, W], got {grid.shape}")
+        if grid.ndim not in (2, 3):
+            raise ValueError(f"expected [H, W] or [B, H, W], got {grid.shape}")
+        return self._decode_fn(grid.shape)(grid)
 
     def encode_subbands(self, image):
         """uint8 [H, W] image -> (anchors, subbands, recon) on device.

@@ -176,3 +176,24 @@ def test_swar_left_top_and_deep_levels():
         dec = decode_plane_pallas(np.asarray(grids), levels, pred)
         for k in range(2):
             assert np.array_equal(np.asarray(dec[k]), imgs[k]), (levels, pred)
+
+
+def test_codec_batched_native_pallas():
+    """[B, H, W] through HGICodec with backend='pallas' must hit the
+    kernel's native batch entry (SWAR engages for lossless batches), not
+    a vmap wrapper — and stay bit-equal to per-image oracle encodes."""
+    from rustyhgi_tpu.models.codec import HGICodec
+
+    imgs = np.stack([_img(48, 64) for _ in range(4)])
+    for preset in (QuantizationLevel.LOSSLESS, QuantizationLevel.MEDIUM):
+        c = HGICodec(3, preset, backend="pallas")
+        grids, recons = c.encode_plane(imgs)
+        assert grids.shape == imgs.shape
+        for k in range(4):
+            grid_o = oracle_encode(imgs[k], 3, preset)
+            assert np.array_equal(np.asarray(grids[k]), grid_o), (preset, k)
+            assert np.array_equal(
+                np.asarray(recons[k]), oracle_decode(grid_o, 3)
+            ), (preset, k)
+        dec = c.decode_plane(np.asarray(grids))
+        assert np.array_equal(np.asarray(dec), np.asarray(recons))
