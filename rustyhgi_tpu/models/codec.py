@@ -162,10 +162,8 @@ class HGICodec:
 
         Pure device computation.  Batched inputs go straight to the
         backend's native batch entry (never through ``jax.vmap``): the
-        fused Pallas kernel runs batch as a grid dimension and engages
-        its two-images-per-lane SWAR mode only when it sees ``n >= 2``
-        at the top level, and the XLA path maps over leading dims
-        natively.
+        fused Pallas kernel runs batch as a grid dimension, and the XLA
+        path maps over leading dims natively.
         """
         image = jnp.asarray(image, dtype=jnp.uint8)
         if image.ndim not in (2, 3):

@@ -129,41 +129,24 @@ def _shift_sub(p: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(m, r, 0)
 
 
-# -- SWAR (two images per int32 lane) ---------------------------------------
-#
-# Mosaic cannot legalize sub-32-bit vector shifts, so the int16 route to
-# doubled VPU throughput is closed.  Instead the lossless encode and the
-# decode pack TWO batch images into each int32 lane (fields at bits 0 and
-# 16): every spatial op (rolls, masks, transposes, plane splits) is
-# field-agnostic, and the arithmetic stays field-safe because all pyramid
-# intermediates fit 16 bits — tree partial sums reach at most 4*255 =
-# 1020, decode sums at most 510.  Only three ops need field isolation:
-#   avg      (a+b+1)>>1      ->  ((a+b+0x00010001)>>1) & 0x7FFF7FFF
-#   tree>>2  t>>2            ->  (t>>2) & 0x3FFF3FFF
-#   mod-256  (f-p)&255       ->  (f+0x01000100-p) & 0x00FF00FF
-# The lossy closed loop never runs SWAR: the quantizer's exact
-# multiply-shift products exceed 16 bits.  ``_SWAR`` is a trace-global
-# like ``_CACHE``.
-
-_SWAR = False
-_ONE2 = 0x00010001
-_M255_2 = 0x00FF00FF
-_BIAS_2 = 0x01000100  # +256 per field: makes per-field subtraction mod-256
-_HALF_M = 0x7FFF7FFF
-_QTR_M = 0x3FFF3FFF
+# NOTE on lane packing: Mosaic cannot legalize sub-32-bit vector shifts,
+# so the int16 route to doubled VPU throughput is closed.  A SWAR scheme
+# (two images per int32 lane, fields at bits 0/16) was built and measured
+# on v5e: encode 47.0 GPix/s vs 73.5 without (the field-isolation masks
+# cost more than the halved lane count saves), decode +4.5% — and 2-entry
+# batch-dim blocks with OOB row reads fault the TPU worker process.
+# Removed; one image per lane everywhere.
 
 
 def _avg(a, b):
     """(a + b + 1) >> 1 per pixel (round-half-up; interpolator.rs:41-46)."""
-    if _SWAR:
-        return ((a + b + _ONE2) >> 1) & _HALF_M
     return (a + b + 1) >> 1
 
 
 def _tree_crossed(tl, tr, bl, br):
     """The exact integer rounding tree of src/interpolator.rs:41-55."""
     t = _avg(tl, tr) + _avg(bl, br) + _avg(tl, bl) + _avg(tr, br)
-    return ((t >> 2) & _QTR_M) if _SWAR else (t >> 2)
+    return t >> 2
 
 
 def _tree_left_top(tl, tr, bl, br):
@@ -250,9 +233,6 @@ def _code(fine, pred, quantize, mask):
     None means the statically-lossless path: q == diff, the overflow
     fixup cannot trigger, and recon == fine exactly.
     """
-    if _SWAR:
-        assert quantize is None, "lossy closed loop never runs SWAR"
-        return (fine + _BIAS_2 - pred) & _M255_2, fine
     diff = (fine - pred) & 255
     if quantize is None:
         return diff, fine
@@ -383,66 +363,31 @@ def _pack_u32(planes, mq: int) -> jnp.ndarray:
     return stacked.reshape(stacked.shape[0] * 4, stacked.shape[2])
 
 
-def _swar_bytes16(x0: jnp.ndarray, x1: jnp.ndarray):
-    """Two uint32 word canvases -> 16 SWAR planes (image0 | image1 << 16)."""
-    r, wc = x0.shape
-    a = x0.reshape(r // 4, 4, wc)
-    b = x1.reshape(r // 4, 4, wc)
-    out = [[None] * 4 for _ in range(4)]
-    for ry in range(4):
-        ra, rb = a[:, ry, :], b[:, ry, :]
-        for rx in range(4):
-            lo = (ra >> _U32(8 * rx)) & _U32(255)
-            hi = (rb >> _U32(8 * rx)) & _U32(255)
-            out[ry][rx] = (lo | (hi << _U32(16))).astype(_I32)
-    return out
-
-
-def _swar_pack_u32(planes, mq: int) -> jnp.ndarray:
-    """16 SWAR planes -> (2, 4*mq, wc) uint32 grid words (both images)."""
-    outs = []
-    for field in (0, 16):
-        words = []
-        for ry in range(4):
-            w = _U32(0)
-            for rx in range(4):
-                byte = ((planes[ry][rx][:mq] >> field) & 255).astype(_U32)
-                w = w | (byte << _U32(8 * rx))
-            words.append(w)
-        stacked = jnp.stack(words, axis=1)
-        outs.append(stacked.reshape(stacked.shape[0] * 4, stacked.shape[2]))
-    return jnp.stack(outs, axis=0)
-
-
 def _encode_tile(xw, levels, quantize, tree, maskf, out_rows, want_recon,
-                 valid=None, swar=False):
-    global _CACHE, _SWAR
+                 valid=None):
+    global _CACHE
     _CACHE = {}
-    _SWAR = swar
     try:
-        if swar:
-            D = _swar_bytes16(xw[0], xw[1])
-        else:
-            D = _bytes16_from_u32(xw)
+        D = _bytes16_from_u32(xw)
         if valid is not None:
             D = _mask_rows(D, valid)
         gp, rp = _encode_core(D, levels, quantize, tree, maskf, 1, 1)
-        pack = _swar_pack_u32 if swar else _pack_u32
-        grid = pack(gp, out_rows // 4)
+        grid = _pack_u32(gp, out_rows // 4)
         recon = (
-            pack(rp, out_rows // 4) if (want_recon and rp is not None) else None
+            _pack_u32(rp, out_rows // 4)
+            if (want_recon and rp is not None)
+            else None
         )
         return grid, recon
     finally:
         _CACHE = None
-        _SWAR = False
 
 
 # -- decode -----------------------------------------------------------------
 
 
 def _dec(res, pred, mask):
-    r = (pred + res) & (_M255_2 if _SWAR else 255)
+    r = (pred + res) & 255
     if mask is not None:
         r = jnp.where(mask, r, 0)
     return r
@@ -510,23 +455,17 @@ def _decode_arr(G, lrem, tree, maskf, sy, sx):
     return _assemble(rp)
 
 
-def _decode_tile(gw, levels, tree, maskf, out_rows, valid=None, swar=False):
-    global _CACHE, _SWAR
+def _decode_tile(gw, levels, tree, maskf, out_rows, valid=None):
+    global _CACHE
     _CACHE = {}
-    _SWAR = swar
     try:
-        if swar:
-            Dg = _swar_bytes16(gw[0], gw[1])
-        else:
-            Dg = _bytes16_from_u32(gw)
+        Dg = _bytes16_from_u32(gw)
         if valid is not None:
             Dg = _mask_rows(Dg, valid)
         rp = _decode_core(Dg, levels, tree, maskf, 1, 1)
-        pack = _swar_pack_u32 if swar else _pack_u32
-        return pack(rp, out_rows // 4)
+        return _pack_u32(rp, out_rows // 4)
     finally:
         _CACHE = None
-        _SWAR = False
 
 
 # -- host wrappers ----------------------------------------------------------
@@ -631,20 +570,14 @@ def _norm_quantize(quantize):
     raise ValueError(f"unsupported quantizer for the Pallas path: {quantize!r}")
 
 
-def _pair_specs(th, halo, wc, swar):
-    """(main, halo) BlockSpecs; SWAR blocks carry an image-pair axis."""
-    if swar:
-        return [
-            pl.BlockSpec(
-                (1, 2, th, wc), lambda b, t: (b, 0, t, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 2, halo, wc),
-                lambda b, t, m=th // halo: (b, 0, (t + 1) * m, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ]
+def _pair_specs(th, halo, wc):
+    """(main, halo) BlockSpecs — one image per grid step.
+
+    Blocks keep a batch dim of exactly 1: out-of-bounds row reads (the
+    padless path) are only safe when the valid data is a contiguous
+    prefix of the block, which a >1 batch dim breaks (reproduced fault
+    of the v5e worker process at 1080p x8).
+    """
     return [
         pl.BlockSpec(
             (1, th, wc), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
@@ -657,11 +590,7 @@ def _pair_specs(th, halo, wc, swar):
     ]
 
 
-def _out_spec(th, wc, swar):
-    if swar:
-        return pl.BlockSpec(
-            (1, 2, th, wc), lambda b, t: (b, 0, t, 0), memory_space=pltpu.VMEM
-        )
+def _out_spec(th, wc):
     return pl.BlockSpec(
         (1, th, wc), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
     )
@@ -669,17 +598,13 @@ def _out_spec(th, wc, swar):
 
 @partial(
     jax.jit,
-    static_argnames=(
-        "levels", "error", "predictor", "want_recon", "tile_rows", "swar"
-    ),
+    static_argnames=("levels", "error", "predictor", "want_recon", "tile_rows"),
 )
-def _encode_batch(image, levels, error, predictor, want_recon, tile_rows,
-                  swar=False):
+def _encode_batch(image, levels, error, predictor, want_recon, tile_rows):
     n, h, w = image.shape
     levels = effective_levels(levels, h, w)
     quantize = None if error is None else LinearQuantizer(error)
     lossless = quantize is None
-    assert not (swar and not lossless), "SWAR covers only the lossless encode"
     hp_t, wp, wc, th, halo, n_tiles = _plan(
         h, w, levels, 1 if lossless else 2, tile_rows
     )
@@ -692,17 +617,13 @@ def _encode_batch(image, levels, error, predictor, want_recon, tile_rows,
         xw = lax.bitcast_convert_type(image.reshape(n, h, wc, 4), _U32)
     else:
         xw = _to_words(image, hp_t + halo, wp)
-    if swar:
-        xw = xw.reshape(n // 2, 2, *xw.shape[1:])
     tree = _TREES[predictor]
 
     emit_recon = want_recon and not lossless
 
     def kernel(main_ref, halo_ref, out_ref, *rest):
         t = pl.program_id(1) if n_tiles > 1 else 0
-        x = jnp.concatenate(
-            [main_ref[0], halo_ref[0]], axis=1 if swar else 0
-        )
+        x = jnp.concatenate([main_ref[0], halo_ref[0]], axis=0)
         maskf = (
             _NO_MASK
             if lossless
@@ -710,38 +631,34 @@ def _encode_batch(image, levels, error, predictor, want_recon, tile_rows,
         )
         grid, recon = _encode_tile(
             x, levels, quantize, tree, maskf, th, emit_recon,
-            valid=(h - t * th) if padless else None, swar=swar,
+            valid=(h - t * th) if padless else None,
         )
         out_ref[0] = grid
         if emit_recon:
             rest[0][0] = recon
 
-    out_shape_t = (n // 2, 2, hp_t, wc) if swar else (n, hp_t, wc)
-    out_shapes = [jax.ShapeDtypeStruct(out_shape_t, _U32)]
-    out_specs = [_out_spec(th, wc, swar)]
+    out_shapes = [jax.ShapeDtypeStruct((n, hp_t, wc), _U32)]
+    out_specs = [_out_spec(th, wc)]
     if emit_recon:
-        out_shapes.append(jax.ShapeDtypeStruct(out_shape_t, _U32))
-        out_specs.append(_out_spec(th, wc, swar))
+        out_shapes.append(jax.ShapeDtypeStruct((n, hp_t, wc), _U32))
+        out_specs.append(_out_spec(th, wc))
     results = pl.pallas_call(
         kernel,
-        grid=(n // 2 if swar else n, n_tiles),
-        in_specs=_pair_specs(th, halo, wc, swar),
+        grid=(n, n_tiles),
+        in_specs=_pair_specs(th, halo, wc),
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=_interpret(),
     )(xw, xw)
-    out0 = results[0].reshape(n, hp_t, wc) if swar else results[0]
-    grid = _from_words(out0, h, w)
+    grid = _from_words(results[0], h, w)
     if not want_recon:
         return grid, None
     recon = image if lossless else _from_words(results[1], h, w)
     return grid, recon
 
 
-@partial(
-    jax.jit, static_argnames=("levels", "predictor", "tile_rows", "swar")
-)
-def _decode_batch(grid, levels, predictor, tile_rows, swar=False):
+@partial(jax.jit, static_argnames=("levels", "predictor", "tile_rows"))
+def _decode_batch(grid, levels, predictor, tile_rows):
     n, h, w = grid.shape
     levels = effective_levels(levels, h, w)
     hp_t, wp, wc, th, halo, n_tiles = _plan(h, w, levels, 2, tile_rows)
@@ -750,33 +667,25 @@ def _decode_batch(grid, levels, predictor, tile_rows, swar=False):
         gw = lax.bitcast_convert_type(grid.reshape(n, h, wc, 4), _U32)
     else:
         gw = _to_words(grid, hp_t + halo, wp)
-    if swar:
-        gw = gw.reshape(n // 2, 2, *gw.shape[1:])
     tree = _TREES[predictor]
 
     def kernel(main_ref, halo_ref, out_ref):
         t = pl.program_id(1) if n_tiles > 1 else 0
-        g = jnp.concatenate(
-            [main_ref[0], halo_ref[0]], axis=1 if swar else 0
-        )
+        g = jnp.concatenate([main_ref[0], halo_ref[0]], axis=0)
         maskf = _Masks(h, w, hp_t + halo, wp, t * th)
         out_ref[0] = _decode_tile(
             g, levels, tree, maskf, th,
-            valid=(h - t * th) if padless else None, swar=swar,
+            valid=(h - t * th) if padless else None,
         )
 
     out = pl.pallas_call(
         kernel,
-        grid=(n // 2 if swar else n, n_tiles),
-        in_specs=_pair_specs(th, halo, wc, swar),
-        out_specs=_out_spec(th, wc, swar),
-        out_shape=jax.ShapeDtypeStruct(
-            (n // 2, 2, hp_t, wc) if swar else (n, hp_t, wc), _U32
-        ),
+        grid=(n, n_tiles),
+        in_specs=_pair_specs(th, halo, wc),
+        out_specs=_out_spec(th, wc),
+        out_shape=jax.ShapeDtypeStruct((n, hp_t, wc), _U32),
         interpret=_interpret(),
     )(gw, gw)
-    if swar:
-        out = out.reshape(n, hp_t, wc)
     return _from_words(out, h, w)
 
 
@@ -800,19 +709,10 @@ def encode_plane_pallas(
     if squeeze:
         image = image[None]
     q = _norm_quantize(quantize)
-    n = image.shape[0]
-    # SWAR: lossless batches of >= 2 ride two images per int32 lane
-    # (odd batches pad one zero plane — <= 1/n redundant work).
-    swar = q is None and n >= 2
-    if swar and n % 2:
-        image = jnp.concatenate([image, jnp.zeros_like(image[:1])], axis=0)
     grid, recon = _encode_batch(
         image, int(levels), (None if q is None else q.error), predictor,
-        want_recon, tile_rows, swar=swar,
+        want_recon, tile_rows,
     )
-    grid = grid[:n]
-    if recon is not None:
-        recon = recon[:n]
     if squeeze:
         grid = grid[0]
         recon = None if recon is None else recon[0]
@@ -830,10 +730,5 @@ def decode_plane_pallas(
     squeeze = grid.ndim == 2
     if squeeze:
         grid = grid[None]
-    n = grid.shape[0]
-    swar = n >= 2
-    if swar and n % 2:
-        grid = jnp.concatenate([grid, jnp.zeros_like(grid[:1])], axis=0)
-    out = _decode_batch(grid, int(levels), predictor, tile_rows, swar=swar)
-    out = out[:n]
+    out = _decode_batch(grid, int(levels), predictor, tile_rows)
     return out[0] if squeeze else out

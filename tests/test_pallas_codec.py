@@ -147,9 +147,9 @@ def test_tiny_and_edge_shapes():
         ), shape
 
 
-def test_swar_lossless_batches():
-    """SWAR (two images per int32 lane) engages for lossless batches >= 2:
-    even, odd (zero-pad), and multi-tile; bit-exact per image vs oracle."""
+def test_lossless_batches():
+    """Lossless batches >= 2 (even, odd, multi-tile) run batch as a grid
+    dimension; bit-exact per image vs oracle."""
     q = quantize_fn(QuantizationLevel.LOSSLESS)
     for n in (2, 3, 4):
         imgs = np.stack([_img(44, 60) for _ in range(n)])
@@ -163,7 +163,7 @@ def test_swar_lossless_batches():
             assert np.array_equal(np.asarray(dec[k]), imgs[k]), (n, k)
 
 
-def test_swar_left_top_and_deep_levels():
+def test_batched_left_top_and_deep_levels():
     q = quantize_fn(QuantizationLevel.LOSSLESS)
     imgs = np.stack([_img(40, 48), _img(40, 48)[::-1].copy()])
     for levels, pred in ((2, "left_top"), (6, "crossed")):
@@ -180,8 +180,8 @@ def test_swar_left_top_and_deep_levels():
 
 def test_codec_batched_native_pallas():
     """[B, H, W] through HGICodec with backend='pallas' must hit the
-    kernel's native batch entry (SWAR engages for lossless batches), not
-    a vmap wrapper — and stay bit-equal to per-image oracle encodes."""
+    kernel's native batch entry (batch rides the kernel grid), not a
+    vmap wrapper — and stay bit-equal to per-image oracle encodes."""
     from rustyhgi_tpu.models.codec import HGICodec
 
     imgs = np.stack([_img(48, 64) for _ in range(4)])
