@@ -7,6 +7,12 @@ stand-in for the Rust reference binary — SURVEY.md §6: the Rust toolchain
 is absent, so the -O3 C++ twin of the reference's scalar algorithm is the
 baseline on this host).
 
+The headline is the best COMPLETE encode to an archivable layout across
+the framework's engines — the fused Pallas whole-pyramid kernel
+(ops.pallas_codec, the production backend on TPU) and the XLA dyadic
+path (ops.pyramid) — i.e. bench what ships (reference
+benches/bench.rs:33-159).  Every engine's rows go to BENCH_DETAILS.json.
+
 Measurement methodology: the TPU here sits behind a tunnel whose dispatch
 round-trip (~25 ms) dwarfs kernel times, and ``block_until_ready`` does
 not reliably block until device completion.  All device timings therefore
@@ -193,6 +199,46 @@ def main() -> int:
     dec_mpixps = npix_batch / t_dec / 1e6
     log(f"decode (grid): {t_dec * 1e3:.2f} ms/batch -> {dec_mpixps:.0f} MPix/s")
 
+    # -- fused Pallas whole-pyramid codec (the production TPU backend) ------
+    # The kernel always computes every residual internally (nothing for
+    # XLA to dead-code-eliminate); want_recon=False only skips the second
+    # output write, so these are honest complete-encode numbers.
+    pallas_rows = {}
+    try:
+        from rustyhgi_tpu.ops import pallas_codec
+
+        def enc_pl_step(x):
+            return pallas_codec.encode_plane_pallas(
+                x, LEVELS, quant, "crossed", want_recon=False
+            )[0]
+
+        def dec_pl_step(x):
+            return pallas_codec.decode_plane_pallas(x, LEVELS, "crossed")
+
+        quant_m_early = quantize_fn(QuantizationLevel.MEDIUM)
+
+        def enc_pl_m_step(x):
+            return pallas_codec.encode_plane_pallas(
+                x, LEVELS, quant_m_early, "crossed", want_recon=False
+            )[0]
+
+        t = device_seconds_per_call(enc_pl_step, dbatch, floor_bytes=2 * npix_batch)
+        pallas_rows["encode_grid_lossless_mpix_s"] = npix_batch / t / 1e6
+        log(f"pallas encode (grid): {t * 1e3:.2f} ms/batch -> "
+            f"{pallas_rows['encode_grid_lossless_mpix_s']:.0f} MPix/s")
+
+        t = device_seconds_per_call(dec_pl_step, dbatch, floor_bytes=2 * npix_batch)
+        pallas_rows["decode_grid_mpix_s"] = npix_batch / t / 1e6
+        log(f"pallas decode (grid): {t * 1e3:.2f} ms/batch -> "
+            f"{pallas_rows['decode_grid_mpix_s']:.0f} MPix/s")
+
+        t = device_seconds_per_call(enc_pl_m_step, dbatch, floor_bytes=2 * npix_batch)
+        pallas_rows["encode_grid_medium_mpix_s"] = npix_batch / t / 1e6
+        log(f"pallas encode medium: {t * 1e3:.2f} ms/batch -> "
+            f"{pallas_rows['encode_grid_medium_mpix_s']:.0f} MPix/s")
+    except Exception as e:
+        log(f"pallas codec rows failed: {e}")
+
     # Subband-direct decode (the .thgi subband archive path): no grid
     # split — the quads feed the per-level reconstruct directly.
     import jax as _jax
@@ -288,6 +334,37 @@ def main() -> int:
             f"(mt {entropy_speed['rans_mt_MBps']:.0f}), "
             f"DEFLATE-9 {entropy_speed['deflate9_MBps']:.0f} MB/s")
 
+        # ctx coder (serial vs chunk-parallel) on a real subband payload:
+        # one 1080p medium plane, the coder's production input shape.
+        try:
+            from rustyhgi_tpu.ops.ctxcoder import ctx_encode, ctx_encode_mt
+            from rustyhgi_tpu.utils.container import (
+                _ctx_pieces,
+                _ctx_shift,
+                _subband_payload,
+                Archive,
+            )
+
+            meta_1080 = codec_m.metadata_for(H, W)
+            arch_1080 = Archive(meta_1080, np.asarray(codec_m.encode_plane(image)[0]))
+            payload = _subband_payload(arch_1080)
+            pieces = _ctx_pieces(meta_1080)
+            shift = _ctx_shift(meta_1080)
+            t = min_time(lambda: ctx_encode(payload, pieces, shift), iters=3)
+            entropy_speed["ctx_MBps"] = len(payload) / t / 1e6
+            ctx_size = len(ctx_encode(payload, pieces, shift))
+            t = min_time(lambda: ctx_encode_mt(payload, pieces, shift), iters=3)
+            entropy_speed["ctx_mt_MBps"] = len(payload) / t / 1e6
+            mt_size = len(ctx_encode_mt(payload, pieces, shift))
+            entropy_speed["ctx_mt_size_overhead_pct"] = (
+                100.0 * (mt_size - ctx_size) / ctx_size
+            )
+            log(f"ctx coder: serial {entropy_speed['ctx_MBps']:.1f} MB/s, "
+                f"chunk-parallel {entropy_speed['ctx_mt_MBps']:.1f} MB/s "
+                f"(size +{entropy_speed['ctx_mt_size_overhead_pct']:.2f}%)")
+        except Exception as e:
+            log(f"ctx coder rows failed: {e}")
+
         # e2e speed path: device encode + threaded rANS for one 1080p
         # plane (the size-optimal writer additionally runs the 20 MB/s
         # DEFLATE candidate by design, so it is entropy-trial-bound; the
@@ -340,17 +417,63 @@ def main() -> int:
     except Exception as e:
         log(f"entropy/size check failed: {e}")
 
+    # -- deep-pyramid level sweep (BASELINE config: ikonos, levels 1-8) -----
+    # Guards against deep-level kernel regressions that the levels=4
+    # headline cannot see.  Single plane (the per-image serving config);
+    # each level uses the backend the codec's auto mode would pick.
+    level_sweep = {}
+    try:
+        from rustyhgi_tpu.ops import pallas_codec as _pc
+        from rustyhgi_tpu.utils.imageio import load_luma as _load
+
+        ik = _load("/root/reference/res/ikonos-barcelona-spain.jpg")
+        hi, wi = ik.shape
+        dik = jax.device_put(jnp.asarray(ik), dev)
+        for lv in range(1, 9):
+            if _pc.supported(lv, hi, wi, quant, "crossed"):
+                def stp(v, lv=lv):
+                    return _pc.encode_plane_pallas(
+                        v, lv, quant, "crossed", want_recon=False
+                    )[0]
+                engine = "pallas"
+            else:
+                def stp(v, lv=lv):
+                    return pyramid.reconstruct_encode(v, lv, quant)
+                engine = "xla"
+            t = device_seconds_per_call(
+                stp, dik, k_lo=8, k_hi=24, floor_bytes=2 * hi * wi
+            )
+            level_sweep[str(lv)] = {
+                "mpix_s": hi * wi / t / 1e6, "engine": engine,
+            }
+            log(f"level_sweep L{lv} ({engine}): {hi * wi / t / 1e6:.0f} MPix/s")
+    except Exception as e:
+        log(f"level sweep failed: {e}")
+
+    # Headline: the best complete encode to an archivable layout.
+    encode_candidates = {
+        "xla_subband": enc_mpixps,
+        "xla_grid": enc_grid_mpixps,
+        "pallas_grid": pallas_rows.get("encode_grid_lossless_mpix_s", 0.0),
+    }
+    headline_engine = max(encode_candidates, key=encode_candidates.get)
+    headline_mpixps = encode_candidates[headline_engine]
+
     details = {
         "device": str(dev),
         "config": {
             "w": W, "h": H, "batch": BATCH, "levels": LEVELS,
             "methodology": "chained fori_loop slope (K=8 vs 40)",
         },
+        "headline_engine": headline_engine,
+        "headline_mpix_s": headline_mpixps,
         "encode_lossless_mpix_s": enc_mpixps,
         "encode_grid_lossless_mpix_s": enc_grid_mpixps,
         "decode_mpix_s": dec_mpixps,
         "decode_subband_mpix_s": dec_sb_mpixps,
         "encode_medium_mpix_s": enc_m_mpixps,
+        "pallas": pallas_rows,
+        "level_sweep": level_sweep,
         "baseline_scalar_cpp": base,
         "lena_container_bytes": sizes,
         "entropy_MBps": entropy_speed,
@@ -362,12 +485,16 @@ def main() -> int:
     except OSError:
         pass
 
-    vs = enc_mpixps / base["encode_mpix_s"] if base.get("encode_mpix_s") else 0.0
+    vs = (
+        headline_mpixps / base["encode_mpix_s"]
+        if base.get("encode_mpix_s")
+        else 0.0
+    )
     print(
         json.dumps(
             {
                 "metric": "encode_throughput_lossless_l4",
-                "value": round(enc_mpixps, 1),
+                "value": round(headline_mpixps, 1),
                 "unit": "MPix/s",
                 "vs_baseline": round(vs, 2),
             }
