@@ -337,13 +337,34 @@ def _encode_arr(X, lrem, quantize, tree, maskf, sy, sx):
     return _assemble(gp), (X if rp is None else _assemble(rp))
 
 
-def _bytes16_from_u32(xw: jnp.ndarray):
-    """uint32 (r, wc) canvas words -> 16 stride-4 planes (_PT), elementwise."""
+def _bytes16_from_u32(xw: jnp.ndarray, valid=None):
+    """uint32 (r, wc) canvas words -> 16 stride-4 planes (_PT), elementwise.
+
+    ``valid`` (padless input path): zero the planes at canvas rows >=
+    ``valid``.  When the true image height is not a canvas/tile multiple
+    the kernel reads past the array end (Pallas pads out-of-bounds block
+    reads with unspecified bytes); masking restores exactly the
+    zero-padded-canvas semantics.  The mask is FREE: the extraction
+    already ANDs each byte with 255, so the scalar 255 becomes a
+    per-row (m, 1) vector that is 255 where ``4*i + ry < valid`` (<=>
+    ``i < (valid - ry + 3) >> 2``; the arithmetic shift floors negatives,
+    masking everything) and 0 elsewhere — four (m, 1) selects replace
+    the sixteen full-plane iota+where chains that used to cost ~90us of
+    a 226us 1080p-x8 encode.
+    """
     r, wc = xw.shape
     r4 = xw.reshape(r // 4, 4, wc)
     rows = [r4[:, ry, :] for ry in range(4)]
+    if valid is None:
+        m255 = [_U32(255)] * 4
+    else:
+        i = _iota((r // 4, 1), 0)
+        m255 = [
+            jnp.where(i < ((valid - ry + 3) >> 2), _U32(255), _U32(0))
+            for ry in range(4)
+        ]
     return [
-        [((rows[ry] >> _U32(8 * rx)) & _U32(255)).astype(_PT) for rx in range(4)]
+        [((rows[ry] >> _U32(8 * rx)) & m255[ry]).astype(_PT) for rx in range(4)]
         for ry in range(4)
     ]
 
@@ -368,9 +389,7 @@ def _encode_tile(xw, levels, quantize, tree, maskf, out_rows, want_recon,
     global _CACHE
     _CACHE = {}
     try:
-        D = _bytes16_from_u32(xw)
-        if valid is not None:
-            D = _mask_rows(D, valid)
+        D = _bytes16_from_u32(xw, valid)
         gp, rp = _encode_core(D, levels, quantize, tree, maskf, 1, 1)
         grid = _pack_u32(gp, out_rows // 4)
         recon = (
@@ -459,9 +478,7 @@ def _decode_tile(gw, levels, tree, maskf, out_rows, valid=None):
     global _CACHE
     _CACHE = {}
     try:
-        Dg = _bytes16_from_u32(gw)
-        if valid is not None:
-            Dg = _mask_rows(Dg, valid)
+        Dg = _bytes16_from_u32(gw, valid)
         rp = _decode_core(Dg, levels, tree, maskf, 1, 1)
         return _pack_u32(rp, out_rows // 4)
     finally:
@@ -506,33 +523,6 @@ def _to_words(x: jnp.ndarray, rows: int, wp: int) -> jnp.ndarray:
     n, h, w = x.shape
     x = jnp.pad(x, ((0, 0), (0, rows - h), (0, wp - w)))
     return lax.bitcast_convert_type(x.reshape(n, rows, wp // 4, 4), _U32)
-
-
-def _mask_rows(D, valid):
-    """Zero the D planes at block rows >= ``valid`` (padless input path).
-
-    When the true image height is not a canvas/tile multiple, the kernel
-    reads past the array end (Pallas pads out-of-bounds block reads with
-    unspecified bytes); zeroing rows >= valid restores exactly the
-    zero-padded-canvas semantics without paying a full XLA pad pass.
-
-    Threshold form: ``4i+ry < valid`` <=> ``i < (valid-ry+3) >> 2`` (the
-    arithmetic shift floors negatives, masking everything) — one shared
-    iota and four scalar-threshold compares instead of sixteen
-    iota+mul+add chains, which Mosaic does not CSE.  (Masking the packed
-    uint32 words before the plane split would be 4x fewer element ops on
-    paper, but measured 1.2-1.8x SLOWER end-to-end — the select between
-    the block load and the byte-extract chain defeats Mosaic's fusion.)
-    """
-    sh = D[0][0].shape
-    if isinstance(valid, int) and valid >= 4 * sh[0]:
-        return D
-    i = _iota(sh, 0)
-    for ry in range(4):
-        m = i < ((valid - ry + 3) >> 2)
-        for rx in range(4):
-            D[ry][rx] = jnp.where(m, D[ry][rx], 0)
-    return D
 
 
 def _from_words(xw: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
