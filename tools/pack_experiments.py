@@ -75,6 +75,8 @@ def sig_plus_width(z, block):
 def two_level(z, big=1024, small=8):
     """Per-small-column width, width nibbles packed; zero-cost via nibble."""
     n = z.size
+    z = z.reshape(-1)
+    n = z.size
     nb = -(-n // small)
     pad = np.zeros(nb * small, np.int64)
     pad[:n] = z
