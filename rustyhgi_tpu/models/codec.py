@@ -211,16 +211,29 @@ class HGICodec:
     def write_fast(self, image) -> bytes:
         """Fastest encode-to-archive: one fused device program.
 
-        Device encode + Pallas bit-pack run as a single jit (the residual
-        grid never round-trips to the host); the host only frames the
-        packed planes into a .thgi (rowmajor layout, bitpack codec) —
-        byte-identical to ``write_thgi(archive, fast=True)``.  This
-        matters wherever host<->device bandwidth bounds the pipeline:
-        only the entropy-reduced bytes cross the link.
+        The fused Pallas whole-pyramid encode and the lane-parallel
+        device rANS (ops.tpurans) run as a SINGLE jit — the residual
+        grid never round-trips to the host, and only entropy-coded bytes
+        ever cross the host<->device link.  Counts/states/table ride
+        header rows of the same buffer (encode_device_packed), so on a
+        high-latency link the host pays ONE prefix fetch sized by a
+        cached per-shape estimate of the longest lane (32-row buckets
+        keep slicer executables cached; an under-estimate — first call,
+        or an image far busier than the last — fetches the missing tail
+        once).  The host only frames the payload into a .thgi (rowmajor
+        layout, rans_tpu codec) — byte-identical to
+        ``write_thgi(archive, fast=True)`` on the same backend.
         """
-        from ..ops.pallas_kernels import finalize_packed
+        from ..ops.tpurans import (
+            MAX_SYMBOLS,
+            encode_device_packed,
+            finalize_stream,
+            lanes_for,
+            meta_rows_for,
+            unpack_meta,
+        )
         from ..utils.container import (
-            _CODEC_BITPACK,
+            _CODEC_RANS_TPU,
             _LAYOUT_ROWMAJOR,
             _thgi_frame,
         )
@@ -229,28 +242,63 @@ class HGICodec:
         if image.ndim != 2:
             raise ValueError(f"expected [H, W], got {image.shape}")
         h, w = image.shape
+        n = h * w
+        if n > MAX_SYMBOLS:
+            # Beyond the device coder's exact-histogram envelope
+            # (gigapixel planes belong to the tiled path anyway): full
+            # writer, host entropy stage.
+            from ..utils.container import Archive, write_thgi
+
+            grid, _ = self.encode_plane(image)
+            return write_thgi(
+                Archive(self.metadata_for(h, w), np.asarray(grid)),
+                layouts=("rowmajor",),
+            )
         key = ("fast",) + image.shape
         fn = self._encode_cache.get(key)
         if fn is None:
-            from ..ops.pallas_kernels import pack_blocks
-
             levels, quant = self.levels, self._quantize_fn()
-            pred = self._predictor_fn
+            if self._use_pallas((h, w), need_quantize=True):
+                from ..ops.pallas_codec import encode_plane_pallas
 
-            def fused(img):
-                grid, _ = pyramid.encode_plane(img, levels, quant, pred)
-                packed, widths, _ = pack_blocks(grid.reshape(-1))
-                return packed, widths
+                pred_name = self.predictor
 
-            fn = jax.jit(fused)
+                def _grid(img):
+                    return encode_plane_pallas(
+                        img, levels, quant, pred_name, want_recon=False
+                    )[0]
+            else:
+                pred = self._predictor_fn
+
+                def _grid(img):
+                    return pyramid.reconstruct_encode(img, levels, quant, pred)
+
+            fn = jax.jit(lambda img: encode_device_packed(_grid(img).reshape(-1)))
             self._encode_cache[key] = fn
-        packed, widths = fn(image)
-        from ..ops.pallas_kernels import BLOCK
-
-        nb = -(-(h * w) // BLOCK)
-        body = finalize_packed(np.asarray(packed), np.asarray(widths), nb, h * w)
+        out = fn(image)
+        L = lanes_for(n)
+        meta = meta_rows_for(L)
+        T = int(out.shape[0]) - meta
+        est = self._encode_cache.get(("fast_rows",) + image.shape, T)
+        guess = min(T, -(-est // 32) * 32)
+        head_np = np.asarray(out[: meta + guess])
+        freq_np, counts_np, states_np = unpack_meta(head_np[:meta], L)
+        rows = min(T, -(-int(counts_np.sum()) // L))  # rows holding words
+        if rows <= guess:
+            stream_np = head_np[meta:]
+        else:
+            kb = min(T, -(-rows // 32) * 32)
+            tail = np.asarray(out[meta + guess : meta + kb])
+            stream_np = np.concatenate([head_np[meta:], tail], axis=0)
+        # Next call for this shape fetches ~15% headroom over this image
+        # (the word TOTAL is far steadier across images than any per-lane
+        # maximum — it is the coded size itself).
+        self._encode_cache[("fast_rows",) + image.shape] = rows + max(
+            rows // 8, 2
+        )
+        payload = finalize_stream(n, freq_np, counts_np, states_np, stream_np)
         return _thgi_frame(
-            self.metadata_for(h, w), _LAYOUT_ROWMAJOR, _CODEC_BITPACK, h * w, body
+            self.metadata_for(h, w), _LAYOUT_ROWMAJOR, _CODEC_RANS_TPU, n, payload
         )
 
     def decode_preview(self, anchors, subbands, shape, upto: int):

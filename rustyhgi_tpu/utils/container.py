@@ -234,6 +234,7 @@ _CODEC_RANS_MT = 3  # two independent rANS chunks, coded in parallel
 _CODEC_CTX = 4  # context-adaptive binary range coder (subband layout only)
 _CODEC_RANS_SHARED = 5  # rANS with an EXTERNAL shared freq table (multi-host)
 _CODEC_CTX_MT = 6  # chunk-parallel ctx coder (subband layout only)
+_CODEC_RANS_TPU = 7  # device lane-parallel rANS (ops.tpurans, fast mode)
 
 _RANS_TABLE_BYTES = 512  # u16 LE freq[256] prefix of every rANS stream
 
@@ -393,11 +394,16 @@ def _entropy_candidate_jobs(
 
     jobs = []
     if fast:
-        # Device-side Pallas bit-plane pack: end-to-end encode cost is
-        # device compute + transfer, no host entropy crunch.  Compression
-        # is data-dependent (block-max widths suffer on heavy-tailed
-        # residuals), hence explicit opt-in rather than a size candidate.
-        if keep(_CODEC_BITPACK):
+        # Device-coded fast modes: end-to-end encode cost is device
+        # compute + transfer, no host entropy crunch.  The lane-parallel
+        # rANS (ops.tpurans) is the default — entropy-optimal within a
+        # few percent of the host coder; the bit-plane pack remains
+        # available by explicit request (codecs=["bitpack"]).
+        if allowed is None or _CODEC_RANS_TPU in allowed:
+            from ..ops.tpurans import encode_bytes
+
+            jobs.append((_CODEC_RANS_TPU, lambda: encode_bytes(raw)))
+        elif keep(_CODEC_BITPACK):
             from ..ops.pallas_kernels import pack_bytes
 
             jobs.append(
@@ -471,6 +477,7 @@ _CODEC_NAMES = {
     "ctx": _CODEC_CTX,
     "rans_shared": _CODEC_RANS_SHARED,
     "ctx_mt": _CODEC_CTX_MT,
+    "rans_tpu": _CODEC_RANS_TPU,
 }
 
 
@@ -697,6 +704,10 @@ def read_thgi_payload(data: bytes, freqs=None):
         raw = unpack_bytes(body, expected_n=raw_size).tobytes()
     elif tag == _CODEC_RANS_MT:
         raw = _rans_mt_decode(body, raw_size)
+    elif tag == _CODEC_RANS_TPU:
+        from ..ops.tpurans import decode_bytes
+
+        raw = decode_bytes(body, expected_n=raw_size).tobytes()
     elif tag == _CODEC_CTX:
         if layout != _LAYOUT_SUBBAND:
             raise ValueError("ctx codec requires the subband layout")
@@ -777,7 +788,9 @@ def read_thgi_preview(data: bytes, upto: int, freqs=None):
         h * w for h, w in q_shapes[:upto]
     )
 
-    if layout != _LAYOUT_SUBBAND or tag == _CODEC_BITPACK:
+    if layout != _LAYOUT_SUBBAND or tag in (_CODEC_BITPACK, _CODEC_RANS_TPU):
+        # bitpack and the lane-interleaved device rANS have no
+        # front-to-back prefix property; full decode + split.
         archive = read_thgi(data, freqs)
         anchors, subbands = split_grid_np(archive.grid, meta.scale_level)
         return meta, anchors, subbands[:upto], upto

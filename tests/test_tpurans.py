@@ -1,0 +1,164 @@
+"""Lane-parallel device rANS (ops.tpurans): roundtrip, size, hardening.
+
+The coder has no external golden model — its contract is (1) exact
+roundtrip for every input, (2) payloads within a whisker of the host
+rANS coder on real residuals (VERDICT round-2 #4: <= 1.2x), and
+(3) ValueError (never a crash or over-allocation) on malformed input.
+"""
+
+import numpy as np
+import pytest
+
+from rustyhgi_tpu.ops.tpurans import (
+    MAX_SYMBOLS,
+    decode_bytes,
+    encode_bytes,
+    lanes_for,
+)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0xA5)
+
+
+def _roundtrip(data: bytes):
+    enc = encode_bytes(data)
+    out = decode_bytes(enc, expected_n=len(data))
+    assert out.tobytes() == data
+    return enc
+
+
+@pytest.mark.parametrize("n", [1, 2, 127, 128, 129, 511, 512, 513, 65536])
+def test_roundtrip_sizes(rng, n):
+    _roundtrip(rng.integers(0, 256, n, dtype=np.uint8).tobytes())
+    _roundtrip((rng.geometric(0.3, n) % 256).astype(np.uint8).tobytes())
+
+
+def test_roundtrip_degenerate(rng):
+    _roundtrip(bytes(10000))  # all zeros
+    _roundtrip(bytes([255]) * 3000)  # single non-zero symbol
+    _roundtrip(bytes([0, 255] * 500))  # two symbols
+    _roundtrip(bytes(range(256)) * 4)  # uniform, all symbols present
+    _roundtrip(bytes([7]))  # single byte
+
+
+def test_empty_stream():
+    enc = encode_bytes(b"")
+    assert decode_bytes(enc, expected_n=0).size == 0
+
+
+def test_lane_choice_monotone():
+    assert lanes_for(1) == 128
+    assert lanes_for(10**9) == 8192
+    prev = 0
+    for n in (1, 1000, 100_000, 1_000_000, MAX_SYMBOLS):
+        l = lanes_for(n)
+        assert l >= prev and l & (l - 1) == 0
+        prev = l
+
+
+def test_size_within_1p2x_of_host_rans(rng):
+    """The VERDICT #4 acceptance bound, on residual-shaped data."""
+    from rustyhgi_tpu.ops.entropy import rans_encode
+
+    for p in (0.05, 0.3, 0.8):
+        data = (rng.geometric(p, 300_000) % 256).astype(np.uint8).tobytes()
+        tpu = len(encode_bytes(data))
+        host = len(rans_encode(data))
+        assert tpu <= 1.2 * host, (p, tpu, host)
+
+
+def test_size_on_real_residuals(rng):
+    """Actual codec residuals (the production payload shape)."""
+    from rustyhgi_tpu.models.codec import HGICodec
+    from rustyhgi_tpu.ops.entropy import rans_encode
+
+    x = np.arange(192, dtype=np.int64)
+    y = np.arange(144, dtype=np.int64)
+    img = ((y[:, None] * x[None, :]) & 0xFF).astype(np.uint8)
+    for quant in ("lossless", "medium"):
+        grid = np.asarray(HGICodec(4, quant).encode_plane(img)[0])
+        raw = grid.ravel().tobytes()
+        assert _roundtrip(raw) is not None
+        tpu = len(encode_bytes(raw))
+        host = len(rans_encode(raw))
+        assert tpu <= 1.2 * host, (quant, tpu, host)
+
+
+def test_declared_size_mismatch_rejected(rng):
+    data = rng.integers(0, 256, 5000, dtype=np.uint8).tobytes()
+    enc = bytearray(encode_bytes(data))
+    enc[0:4] = (1 << 30).to_bytes(4, "little")  # hostile embedded n
+    with pytest.raises(ValueError, match="does not match declared"):
+        decode_bytes(bytes(enc), expected_n=5000)
+
+
+def test_malformed_streams_rejected(rng):
+    data = (rng.geometric(0.2, 20_000) % 256).astype(np.uint8).tobytes()
+    enc = encode_bytes(data)
+
+    with pytest.raises(ValueError):
+        decode_bytes(enc[:6], expected_n=len(data))  # truncated header
+    with pytest.raises(ValueError):
+        decode_bytes(enc[:600], expected_n=len(data))  # truncated counts
+    with pytest.raises(ValueError):
+        decode_bytes(enc[:-10], expected_n=len(data))  # truncated body
+
+    bad = bytearray(enc)
+    bad[4:8] = (77).to_bytes(4, "little")  # non-pow2 lane count
+    with pytest.raises(ValueError, match="lane count"):
+        decode_bytes(bytes(bad), expected_n=len(data))
+
+    bad = bytearray(enc)
+    bad[8:10] = (0xFFFF).to_bytes(2, "little")  # breaks table sum
+    with pytest.raises(ValueError, match="frequency table"):
+        decode_bytes(bytes(bad), expected_n=len(data))
+
+
+def test_corruption_fuzz_never_crashes(rng):
+    data = (rng.geometric(0.2, 30_000) % 256).astype(np.uint8).tobytes()
+    enc = encode_bytes(data)
+    for _ in range(60):
+        b = bytearray(enc)
+        cut = int(rng.integers(1, len(b)))
+        b = b[:cut]
+        if len(b) > 8:
+            b[int(rng.integers(0, len(b)))] ^= 0xFF
+        try:
+            out = decode_bytes(bytes(b), expected_n=len(data))
+            # A surviving decode must at least be size-correct.
+            assert out.size == len(data)
+        except ValueError:
+            pass
+
+
+def test_write_fast_emits_rans_tpu_and_reads_back(rng):
+    from rustyhgi_tpu.models.codec import HGICodec
+    from rustyhgi_tpu.utils.container import _CODEC_RANS_TPU, read_thgi
+
+    img = rng.integers(0, 256, (61, 83), dtype=np.uint8)
+    codec = HGICodec(3, "medium")
+    blob = codec.write_fast(img)
+    arch = read_thgi(blob)
+    expect = np.asarray(codec.encode_plane(img)[0])
+    assert np.array_equal(arch.grid, expect)
+    # The payload really is the device coder (not a silent fallback).
+    from rustyhgi_tpu.utils.container import _METADATA
+    import struct
+
+    off = 4 + _METADATA.size
+    _, tag = struct.unpack_from("<BB", blob, off)
+    assert tag == _CODEC_RANS_TPU
+
+
+def test_write_fast_preview_falls_back_to_full_decode(rng):
+    from rustyhgi_tpu.models.codec import HGICodec
+    from rustyhgi_tpu.utils.container import read_preview
+
+    img = rng.integers(0, 256, (32, 48), dtype=np.uint8)
+    codec = HGICodec(3, "lossless")
+    blob = codec.write_fast(img)
+    meta, anchors, subbands, upto = read_preview(blob, 1)
+    assert upto == 1
+    assert len(subbands) == 1
