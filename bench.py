@@ -236,6 +236,35 @@ def main() -> int:
         pallas_rows["encode_grid_medium_mpix_s"] = npix_batch / t / 1e6
         log(f"pallas encode medium: {t * 1e3:.2f} ms/batch -> "
             f"{pallas_rows['encode_grid_medium_mpix_s']:.0f} MPix/s")
+
+        # Subband emission (VERDICT r2 #2): the kernel's per-level planes
+        # packed straight into the .thgi-subband layout.  Every output is
+        # reduced into the carry (same no-DCE discipline as the XLA row).
+        def _sb_reduce(x, res):
+            anchors, subbands, _ = res
+            acc = jnp.sum(anchors, dtype=jnp.int32)
+            for quads in subbands:
+                for q in quads:
+                    acc = acc + jnp.sum(q, dtype=jnp.int32)
+            return x ^ (acc & 255).astype(jnp.uint8)
+
+        def enc_pl_sb_step(x):
+            return _sb_reduce(x, pallas_codec.encode_subbands_pallas(
+                x, LEVELS, quant, "crossed", want_recon=False))
+
+        def enc_pl_sb_m_step(x):
+            return _sb_reduce(x, pallas_codec.encode_subbands_pallas(
+                x, LEVELS, quant_m_early, "crossed", want_recon=False))
+
+        t = device_seconds_per_call(enc_pl_sb_step, dbatch, floor_bytes=2 * npix_batch)
+        pallas_rows["encode_subband_lossless_mpix_s"] = npix_batch / t / 1e6
+        log(f"pallas encode (subband): {t * 1e3:.2f} ms/batch -> "
+            f"{pallas_rows['encode_subband_lossless_mpix_s']:.0f} MPix/s")
+
+        t = device_seconds_per_call(enc_pl_sb_m_step, dbatch, floor_bytes=2 * npix_batch)
+        pallas_rows["encode_subband_medium_mpix_s"] = npix_batch / t / 1e6
+        log(f"pallas encode subband medium: {t * 1e3:.2f} ms/batch -> "
+            f"{pallas_rows['encode_subband_medium_mpix_s']:.0f} MPix/s")
     except Exception as e:
         log(f"pallas codec rows failed: {e}")
 
@@ -481,6 +510,7 @@ def main() -> int:
         "xla_subband": enc_mpixps,
         "xla_grid": enc_grid_mpixps,
         "pallas_grid": pallas_rows.get("encode_grid_lossless_mpix_s", 0.0),
+        "pallas_subband": pallas_rows.get("encode_subband_lossless_mpix_s", 0.0),
     }
     headline_engine = max(encode_candidates, key=encode_candidates.get)
     headline_mpixps = encode_candidates[headline_engine]

@@ -183,16 +183,29 @@ class HGICodec:
         The subband layout is the kernel's natural output (per-level packed
         residual quads) and skips the full-plane grid assembly — the
         fastest complete encode; pair with the .thgi subband container.
+        On TPU the fused Pallas kernel emits the subbands directly
+        (ops.pallas_codec.encode_subbands_pallas, bit-identical); outside
+        its envelope the XLA dyadic path serves.
         """
         image = jnp.asarray(image, dtype=jnp.uint8)
         key = ("sb",) + image.shape
         fn = self._encode_cache.get(key)
         if fn is None:
             levels, quant = self.levels, self._quantize_fn()
-            pred = self._predictor_fn
-            fn = jax.jit(
-                lambda img: pyramid.encode_subbands(img, levels, quant, pred)
-            )
+            if self._use_pallas(image.shape[-2:], need_quantize=True):
+                from ..ops.pallas_codec import encode_subbands_pallas
+
+                pred_name = self.predictor
+                fn = jax.jit(
+                    lambda img: encode_subbands_pallas(
+                        img, levels, quant, pred_name
+                    )
+                )
+            else:
+                pred = self._predictor_fn
+                fn = jax.jit(
+                    lambda img: pyramid.encode_subbands(img, levels, quant, pred)
+                )
             self._encode_cache[key] = fn
         return fn(image)
 

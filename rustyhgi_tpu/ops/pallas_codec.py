@@ -51,6 +51,7 @@ from .quantizers import LinearQuantizer, NoOpQuantizer
 __all__ = [
     "supported",
     "encode_plane_pallas",
+    "encode_subbands_pallas",
     "decode_plane_pallas",
 ]
 
@@ -248,18 +249,30 @@ def _code(fine, pred, quantize, mask):
 # -- encode -----------------------------------------------------------------
 
 
-def _encode_core(D, lrem, quantize, tree, maskf, sy, sx):
+def _encode_core(D, lrem, quantize, tree, maskf, sy, sx, sub=False):
     """Two pyramid levels on a planar-decomposed lattice + recursion.
 
     ``D[ry][rx]`` are the 16 stride-4 planes of the current lattice
-    (spacing (sy, sx) in canvas pixels).  Returns (grid_planes,
-    recon_planes) as 4x4 plane lists; ``recon_planes`` is None on the
-    lossless path (recon == source).
+    (spacing (sy, sx) in canvas pixels).  Returns ``(grid_planes,
+    recon_planes, subinfo)`` — 4x4 plane lists (``recon_planes`` is None
+    on the lossless path, where recon == source).  With ``sub=True`` the
+    recursion collects the SUBBAND emission instead of assembling a
+    sub-grid: ``grid_planes[0][0]`` is None and ``subinfo`` is
+    ``(anchor_plane, levels_list)`` per :func:`_sub_arr`; ``sub=False``
+    returns ``subinfo=None``.
     """
     lossless = quantize is None
     S = D[0][0]
+    subinfo = None
     if lrem == 2:
         gsub, rsub = S, S  # anchors: raw values (src/encoder.rs:26-37)
+        if sub:
+            gsub, subinfo = None, (S, [])
+    elif sub:
+        anc, levels_sub, rsub = _sub_arr(
+            S, lrem - 2, quantize, tree, maskf, 4 * sy, 4 * sx
+        )
+        gsub, subinfo = None, (anc, levels_sub)
     else:
         gsub, rsub = _encode_arr(S, lrem - 2, quantize, tree, maskf, 4 * sy, 4 * sx)
 
@@ -313,7 +326,7 @@ def _encode_core(D, lrem, quantize, tree, maskf, sy, sx):
                 D[2 * a + 1][2 * b + 1], Pab, quantize,
                 maskf(sh, (2 * a + 1) * sy, 4 * sy, (2 * b + 1) * sx, 4 * sx),
             )
-    return gp, (None if lossless else rp)
+    return gp, (None if lossless else rp), subinfo
 
 
 def _encode_arr(X, lrem, quantize, tree, maskf, sy, sx):
@@ -333,8 +346,77 @@ def _encode_arr(X, lrem, quantize, tree, maskf, sy, sx):
         G = _assemble([[C, g01], [g10, g11]])
         R = X if lossless else _assemble([[C, r01], [r10, r11]])
         return G, R
-    gp, rp = _encode_core(_planes_k(X, 4), lrem, quantize, tree, maskf, sy, sx)
+    gp, rp, _ = _encode_core(_planes_k(X, 4), lrem, quantize, tree, maskf, sy, sx)
     return _assemble(gp), (X if rp is None else _assemble(rp))
+
+
+# -- subband emission ---------------------------------------------------------
+#
+# The kernel's per-level planes ARE the subband decomposition; emission
+# only has to put them in the pyramid.encode_subbands byte layout without
+# lane relayouts.  Two forms cover every level:
+#
+# * ``("pairs", q)`` — the FINEST level of each recursion depth.  A quad
+#   like q01 alternates two column-residue planes byte-for-byte
+#   (cols 2c+1: residue 1 then 3), so each u16 of its row-major bytes is
+#   ``A | B << 8`` — pure elementwise — and rows interleave the two
+#   row-residue planes with one sublane stack.  ``q`` is that int32
+#   array (values < 2**16); the host truncates to u16 and bitcasts.
+# * ``("vals", q)`` — level-A quads / anchors / odd-tail quads are single
+#   stride-4 planes already in row-major order; ``q`` holds one byte
+#   value per element (host truncates to u8).  Coarse levels only —
+#   <= 1/4 of the data — so the 2-byte output costs nothing measurable.
+
+
+def _pair(A0, B0, A2, B2):
+    """Pair-pack a finest-level quad: (rows r even: A0|B0<<8; odd: A2|B2<<8)."""
+    u0 = A0 | (B0 << 8)
+    u2 = A2 | (B2 << 8)
+    st = jnp.stack([u0, u2], axis=-2)  # [..., m, 2, n]
+    return st.reshape(*u0.shape[:-2], 2 * u0.shape[-2], u0.shape[-1])
+
+
+def _sub_levels_from_gp(gp):
+    """(level_A_entry, level_B_entry) from a 4x4 grid-plane list."""
+    level_a = ("vals", (gp[0][2], gp[2][0], gp[2][2]))
+    level_b = (
+        "pairs",
+        (
+            _pair(gp[0][1], gp[0][3], gp[2][1], gp[2][3]),  # q01: (2r, 2c+1)
+            _pair(gp[1][0], gp[1][2], gp[3][0], gp[3][2]),  # q10: (2r+1, 2c)
+            _pair(gp[1][1], gp[1][3], gp[3][1], gp[3][3]),  # q11: (2r+1, 2c+1)
+        ),
+    )
+    return level_a, level_b
+
+
+def _sub_arr(X, lrem, quantize, tree, maskf, sy, sx):
+    """Subband-encode a materialized lattice.
+
+    Returns ``(anchor_plane, levels_list, recon)`` — levels coarsest
+    first, ``recon`` the assembled reconstruction lattice the PARENT
+    level predicts from (== X when lossless).
+    """
+    lossless = quantize is None
+    if lrem == 0:
+        return X, [], X
+    if lrem == 1:
+        p4 = _planes_k(X, 2)
+        C = p4[0][0]
+        trs = _shift_lane(C)
+        P = tree(C, trs, _shift_sub(C), _shift_sub(trs))
+        sh = P.shape
+        g01, r01 = _code(p4[0][1], P, quantize, maskf(sh, 0, 2 * sy, sx, 2 * sx))
+        g10, r10 = _code(p4[1][0], P, quantize, maskf(sh, sy, 2 * sy, 0, 2 * sx))
+        g11, r11 = _code(p4[1][1], P, quantize, maskf(sh, sy, 2 * sy, sx, 2 * sx))
+        R = X if lossless else _assemble([[C, r01], [r10, r11]])
+        return C, [("vals", (g01, g10, g11))], R
+    gp, rp, (anc, levels_sub) = _encode_core(
+        _planes_k(X, 4), lrem, quantize, tree, maskf, sy, sx, sub=True
+    )
+    level_a, level_b = _sub_levels_from_gp(gp)
+    recon = X if rp is None else _assemble(rp)
+    return anc, levels_sub + [level_a, level_b], recon
 
 
 def _bytes16_from_u32(xw: jnp.ndarray, valid=None):
@@ -390,7 +472,7 @@ def _encode_tile(xw, levels, quantize, tree, maskf, out_rows, want_recon,
     _CACHE = {}
     try:
         D = _bytes16_from_u32(xw, valid)
-        gp, rp = _encode_core(D, levels, quantize, tree, maskf, 1, 1)
+        gp, rp, _ = _encode_core(D, levels, quantize, tree, maskf, 1, 1)
         grid = _pack_u32(gp, out_rows // 4)
         recon = (
             _pack_u32(rp, out_rows // 4)
@@ -398,6 +480,46 @@ def _encode_tile(xw, levels, quantize, tree, maskf, out_rows, want_recon,
             else None
         )
         return grid, recon
+    finally:
+        _CACHE = None
+
+
+def _crop_rows(x, rows):
+    """Drop halo-derived trailing rows (static slice on the sublane dim)."""
+    return x[..., :rows, :] if x.shape[-2] != rows else x
+
+
+def _encode_sub_tile(xw, levels, quantize, tree, maskf, out_rows, want_recon,
+                     valid=None):
+    """Subband-emitting tile body: -> (anchor, flat quad list, recon|None).
+
+    Quads come out as u16 arrays in the two emission forms (see the
+    subband-emission note above); every array is cropped to the tile's
+    own rows (halo rows computed redundantly are dropped, exactly like
+    the grid path's out_rows crop).
+    """
+    global _CACHE
+    _CACHE = {}
+    try:
+        D = _bytes16_from_u32(xw, valid)
+        gp, rp, (anc, levels_sub) = _encode_core(
+            D, levels, quantize, tree, maskf, 1, 1, sub=True
+        )
+        level_a, level_b = _sub_levels_from_gp(gp)
+        entries = levels_sub + [level_a, level_b]
+        outs = [_crop_rows(anc, out_rows >> levels).astype(jnp.uint16)]
+        for lv, (kind, quads) in enumerate(entries):
+            scale = levels - lv  # quad rows = tile rows >> scale
+            for q in quads:
+                outs.append(
+                    _crop_rows(q, out_rows >> scale).astype(jnp.uint16)
+                )
+        recon = (
+            _pack_u32(rp, out_rows // 4)
+            if (want_recon and rp is not None)
+            else None
+        )
+        return outs, recon
     finally:
         _CACHE = None
 
@@ -647,6 +769,120 @@ def _encode_batch(image, levels, error, predictor, want_recon, tile_rows):
     return grid, recon
 
 
+def _sub_layout(levels: int, wp: int):
+    """Static output layout of the subband kernel.
+
+    Returns ``[(kind, scale, width_elems)]`` coarsest level first, where
+    quad rows = canvas rows >> scale.  Mirrors the recursion in
+    :func:`_encode_core`/:func:`_sub_arr` exactly.
+    """
+    kinds = []
+    lrem = levels
+    while lrem >= 2:
+        kinds = [("vals",), ("pairs",)] + kinds  # prepend deeper levels
+        lrem -= 2
+    if lrem == 1:
+        kinds = [("vals",)] + kinds
+    out = []
+    for l, (kind,) in enumerate(kinds):
+        scale = levels - l
+        wq = wp >> scale
+        out.append((kind, scale, wq if kind == "vals" else wq // 2))
+    return out
+
+
+@partial(
+    jax.jit,
+    static_argnames=("levels", "error", "predictor", "want_recon", "tile_rows"),
+)
+def _encode_sub_batch(image, levels, error, predictor, want_recon, tile_rows):
+    n, h, w = image.shape
+    levels = effective_levels(levels, h, w)
+    quantize = None if error is None else LinearQuantizer(error)
+    lossless = quantize is None
+    hp_t, wp, wc, th, halo, n_tiles = _plan(
+        h, w, levels, 1 if lossless else 2, tile_rows
+    )
+    padless = (wp == w) and h < hp_t + halo and not _interpret()
+    if padless:
+        xw = lax.bitcast_convert_type(image.reshape(n, h, wc, 4), _U32)
+    else:
+        xw = _to_words(image, hp_t + halo, wp)
+    tree = _TREES[predictor]
+    emit_recon = want_recon and not lossless
+    layout = _sub_layout(levels, wp)
+
+    def kernel(main_ref, halo_ref, *out_refs):
+        t = pl.program_id(1) if n_tiles > 1 else 0
+        x = jnp.concatenate([main_ref[0], halo_ref[0]], axis=0)
+        maskf = (
+            _NO_MASK
+            if lossless
+            else _Masks(h, w, hp_t + halo, wp, t * th)
+        )
+        outs, recon = _encode_sub_tile(
+            x, levels, quantize, tree, maskf, th, emit_recon,
+            valid=(h - t * th) if padless else None,
+        )
+        if emit_recon:
+            outs = outs + [recon]
+        for ref, val in zip(out_refs, outs):
+            ref[0] = val
+
+    def spec(scale, width):
+        return (
+            jax.ShapeDtypeStruct((n, hp_t >> scale, width), jnp.uint16),
+            pl.BlockSpec(
+                (1, th >> scale, width), lambda b, t: (b, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        )
+
+    out_shapes, out_specs = [], []
+    sh, sp = spec(levels, wp >> levels)  # anchors
+    out_shapes.append(sh)
+    out_specs.append(sp)
+    for kind, scale, width in layout:
+        for _ in range(3):
+            sh, sp = spec(scale, width)
+            out_shapes.append(sh)
+            out_specs.append(sp)
+    if emit_recon:
+        out_shapes.append(jax.ShapeDtypeStruct((n, hp_t, wc), _U32))
+        out_specs.append(_out_spec(th, wc))
+    results = pl.pallas_call(
+        kernel,
+        grid=(n, n_tiles),
+        in_specs=_pair_specs(th, halo, wc),
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=_interpret(),
+    )(xw, xw)
+
+    hp = cdiv(h, 1 << levels) * (1 << levels)
+
+    def to_bytes(x, kind, scale):
+        x = x[:, : hp >> scale]  # drop canvas-beyond-hp tile padding rows
+        if kind == "vals":
+            return x.astype(_U8)
+        u8 = lax.bitcast_convert_type(x[..., None], _U8)
+        return u8.reshape(*x.shape[:-1], 2 * x.shape[-1])
+
+    anchors = to_bytes(results[0], "vals", levels)
+    subbands = []
+    i = 1
+    for kind, scale, width in layout:
+        subbands.append(
+            tuple(to_bytes(results[i + j], kind, scale) for j in range(3))
+        )
+        i += 3
+    if not want_recon:
+        return anchors, subbands, None
+    if lossless:
+        return anchors, subbands, image
+    return anchors, subbands, _from_words(results[-1], h, w)
+
+
 @partial(jax.jit, static_argnames=("levels", "predictor", "tile_rows"))
 def _decode_batch(grid, levels, predictor, tile_rows):
     n, h, w = grid.shape
@@ -707,6 +943,39 @@ def encode_plane_pallas(
         grid = grid[0]
         recon = None if recon is None else recon[0]
     return grid, recon
+
+
+def encode_subbands_pallas(
+    image: jnp.ndarray,
+    levels: int,
+    quantize=None,
+    predictor: str = "crossed",
+    want_recon: bool = True,
+    tile_rows: Optional[int] = None,
+):
+    """Fused-kernel counterpart of ops.pyramid.encode_subbands.
+
+    Returns ``(anchors, subbands, recon)`` bit-identical to the XLA path
+    (canvas-padded shapes; ``subbands[l]`` = (q01, q10, q11), coarsest
+    level first).  The kernel's internal per-level planes ARE the
+    subband decomposition, so emission costs only elementwise u16
+    packing — no grid interleave, no host re-split.  Coverage matches
+    :func:`supported`.
+    """
+    image = jnp.asarray(image, _U8)
+    squeeze = image.ndim == 2
+    if squeeze:
+        image = image[None]
+    q = _norm_quantize(quantize)
+    anchors, subbands, recon = _encode_sub_batch(
+        image, int(levels), (None if q is None else q.error), predictor,
+        want_recon, tile_rows,
+    )
+    if squeeze:
+        anchors = anchors[0]
+        subbands = [tuple(x[0] for x in quads) for quads in subbands]
+        recon = None if recon is None else recon[0]
+    return anchors, subbands, recon
 
 
 def decode_plane_pallas(

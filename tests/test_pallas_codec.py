@@ -197,3 +197,100 @@ def test_codec_batched_native_pallas():
             ), (preset, k)
         dec = c.decode_plane(np.asarray(grids))
         assert np.array_equal(np.asarray(dec), np.asarray(recons))
+
+
+# -- subband emission (VERDICT r2 #2): bit-exact vs ops.pyramid --------------
+
+
+def _assert_subbands_equal(res_a, res_b, ctx):
+    a1, s1, r1 = res_a
+    a2, s2, r2 = res_b
+    assert np.array_equal(np.asarray(a1), np.asarray(a2)), ("anchors", ctx)
+    assert len(s1) == len(s2), ("levels", ctx)
+    for lv, (q1s, q2s) in enumerate(zip(s1, s2)):
+        for k, (q1, q2) in enumerate(zip(q1s, q2s)):
+            assert np.array_equal(np.asarray(q1), np.asarray(q2)), (
+                "quad", lv, k, ctx,
+            )
+    if r1 is None or r2 is None:
+        assert r1 is None and r2 is None, ("recon-none", ctx)
+    else:
+        assert np.array_equal(np.asarray(r1), np.asarray(r2)), ("recon", ctx)
+
+
+@pytest.mark.parametrize("shape", [(64, 64), (37, 53), (96, 128)])
+@pytest.mark.parametrize("levels", [2, 3, 4, 5])
+@pytest.mark.parametrize(
+    "preset", [QuantizationLevel.LOSSLESS, QuantizationLevel.MEDIUM]
+)
+def test_subband_emission_matches_xla(shape, levels, preset):
+    from rustyhgi_tpu.ops.pallas_codec import encode_subbands_pallas
+
+    img = _img(*shape)
+    q = quantize_fn(preset)
+    if not supported(levels, *shape, q, "crossed"):
+        pytest.skip("outside the fused kernel envelope")
+    ctx = (shape, levels, preset)
+    _assert_subbands_equal(
+        pyramid.encode_subbands(img, levels, q),
+        encode_subbands_pallas(img, levels, q, "crossed"),
+        ctx,
+    )
+
+
+@pytest.mark.parametrize("tile_rows", [16, 32])
+def test_subband_emission_multi_tile(tile_rows):
+    """Forced row tiling: halo rows are computed redundantly and cropped
+    from EVERY per-level output, not just the grid."""
+    from rustyhgi_tpu.ops.pallas_codec import encode_subbands_pallas
+
+    img = _img(130, 68)
+    for preset in (QuantizationLevel.LOSSLESS, QuantizationLevel.MEDIUM):
+        q = quantize_fn(preset)
+        _assert_subbands_equal(
+            pyramid.encode_subbands(img, 3, q),
+            encode_subbands_pallas(img, 3, q, "crossed", tile_rows=tile_rows),
+            (tile_rows, preset),
+        )
+
+
+def test_subband_emission_batch_and_predictor():
+    from rustyhgi_tpu.ops.pallas_codec import encode_subbands_pallas
+
+    imgs = np.stack([_img(48, 64) for _ in range(3)])
+    q = quantize_fn(QuantizationLevel.LOSSLESS)
+    from rustyhgi_tpu.ops.predictors import predictor_fn
+
+    _assert_subbands_equal(
+        pyramid.encode_subbands(imgs, 4, q, predictor_fn("left_top")),
+        encode_subbands_pallas(imgs, 4, q, "left_top"),
+        "batch-left_top",
+    )
+
+
+def test_subband_emission_want_recon_false():
+    from rustyhgi_tpu.ops.pallas_codec import encode_subbands_pallas
+
+    img = _img(61, 83)
+    q = quantize_fn(QuantizationLevel.MEDIUM)
+    a, s, r = encode_subbands_pallas(img, 4, q, "crossed", want_recon=False)
+    assert r is None
+    a2, s2, _ = pyramid.encode_subbands(img, 4, q)
+    _assert_subbands_equal((a, s, None), (a2, s2, None), "no-recon")
+
+
+def test_codec_encode_subbands_pallas_backend_roundtrip():
+    """HGICodec.encode_subbands with backend='pallas' feeds the XLA
+    subband decoder and the .thgi subband container unchanged."""
+    from rustyhgi_tpu.models.codec import HGICodec
+
+    img = _img(64, 96)
+    c = HGICodec(4, QuantizationLevel.MEDIUM, backend="pallas")
+    anchors, subbands, recon = c.encode_subbands(img)
+    dec = c.decode_subbands(anchors, subbands, img.shape)
+    assert np.array_equal(np.asarray(dec), np.asarray(recon))
+    c_x = HGICodec(4, QuantizationLevel.MEDIUM, backend="xla")
+    a2, s2, r2 = c_x.encode_subbands(img)
+    _assert_subbands_equal(
+        (anchors, subbands, recon), (a2, s2, r2), "codec-route"
+    )
