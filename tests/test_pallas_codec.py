@@ -1,8 +1,8 @@
 """Fused Pallas codec kernels vs the oracle (reference golden model).
 
 Runs in interpreter mode on CPU (conftest forces jax_platforms=cpu); the
-same kernels compile under Mosaic on TPU, where tools/chip_pallas_codec.py
-re-validates hardware semantics.  The invariant is CLAUDE.md's: device
+same kernels compile under Mosaic on TPU, where
+``tools/chip_probe.py validate`` re-validates hardware semantics.  The invariant is CLAUDE.md's: device
 encode bit-exact vs rustyhgi_tpu/oracle.py for every
 shape/levels/preset/predictor.
 """
