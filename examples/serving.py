@@ -62,7 +62,7 @@ def main():
     print(f"level-{upto} preview {pv.shape} == full[::{s}, ::{s}]:",
           np.array_equal(pv, decoded[::s, ::s]))
 
-    section("5. Fastest encode-to-archive (fused device encode + bit-pack)")
+    section("5. Fastest encode-to-archive (fused device encode + device rANS)")
     fast_blob = codec.write_fast(image)
     fast_back = hgi.read_archive(fast_blob)
     print(f"write_fast: {len(fast_blob)} bytes; grid matches:",

@@ -52,8 +52,8 @@ def _add_encoding_options(p: argparse.ArgumentParser) -> None:
     p.add_argument(
         "--fast",
         action="store_true",
-        help="thgi only: device-side Pallas bit-pack entropy stage "
-        "(throughput over size; no host entropy crunch)",
+        help="thgi only: device-coded fast mode (fused Pallas encode + "
+        "lane-parallel device rANS; no host entropy crunch)",
     )
     p.add_argument(
         "--predictor",
@@ -139,8 +139,8 @@ def cmd_encode(args) -> int:
     image = load_luma(args.input)
     codec = HGICodec(args.level, quant, predictor=args.predictor)
     if args.format == "thgi" and args.fast and args.backend == "jax":
-        # One fused device program (encode + bit-pack); only the
-        # entropy-reduced bytes cross the host<->device link.
+        # One fused device program (Pallas encode + device rANS); only
+        # entropy-CODED bytes cross the host<->device link.
         with open(args.output, "wb") as f:
             f.write(codec.write_fast(image))
         return 0

@@ -32,6 +32,7 @@ __all__ = [
     "native_rans_decompress",
     "native_ctx_compress",
     "native_ctx_decompress",
+    "native_rans_tpu_decode",
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -93,6 +94,10 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_uint32,
         ]
         lib.ctx_decompress.restype = ctypes.c_int
+        lib.rans_tpu_decode.argtypes = [
+            u8p, ctypes.c_uint64, u8p, ctypes.c_uint64,
+        ]
+        lib.rans_tpu_decode.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -235,3 +240,34 @@ def native_rans_decompress(data: bytes, raw_size: int) -> bytes:
     if rc != 0:
         raise ValueError(f"rans_decompress: malformed stream (code {rc})")
     return out.tobytes()
+
+
+_RANS_TPU_ERRORS = {
+    -1: "truncated rans_tpu stream",
+    -2: "rans_tpu stream size does not match declared size",
+    -3: "invalid rans_tpu lane count",
+    -4: "invalid rans_tpu frequency table",
+    -5: "rans_tpu lane count exceeds symbol rows",
+    -6: "rans_tpu stream underrun",
+    -7: "rans_tpu stream underrun or trailing words",
+    -8: "rans_tpu state mismatch (corrupt stream)",
+}
+
+
+def native_rans_tpu_decode(data: bytes, n: int) -> np.ndarray:
+    """Decode a lane-parallel TPU rANS payload (ops.tpurans format).
+
+    ``n`` is the header-derived expected size (bomb guard); bit-identical
+    accept/reject behavior to the NumPy mirror in ops/tpurans.py.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    src = np.frombuffer(data, dtype=np.uint8)
+    out = np.zeros(max(int(n), 1), dtype=np.uint8)
+    rc = int(lib.rans_tpu_decode(_u8ptr(src), src.size, _u8ptr(out), int(n)))
+    if rc != 0:
+        raise ValueError(
+            _RANS_TPU_ERRORS.get(rc, f"rans_tpu: malformed stream ({rc})")
+        )
+    return out[: int(n)]

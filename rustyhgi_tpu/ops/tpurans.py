@@ -305,14 +305,29 @@ def encode_bytes(data: bytes) -> bytes:
 
 
 def decode_bytes(data: bytes, expected_n: int = None) -> np.ndarray:
-    """Decode a payload back to uint8 [n] (vectorized NumPy, host-only).
+    """Decode a payload back to uint8 [n] (host-only).
 
+    Prefers the native C++ decoder (native/tpu_rans.cpp); the vectorized
+    NumPy body below is the portable mirror — bit-identical output and
+    accept/reject behavior (tests/test_tpurans.py cross-validates).
     ``expected_n`` (when given) must match the embedded size exactly —
     the container's bomb guard: a hostile payload cannot declare its own
     allocation.  Raises ``ValueError`` on any malformed input.
     """
     if len(data) < 8:
         raise ValueError("truncated rans_tpu stream")
+    try:
+        from .native import available, native_rans_tpu_decode
+
+        if available():
+            size = (
+                expected_n
+                if expected_n is not None
+                else int.from_bytes(data[0:4], "little")
+            )
+            return native_rans_tpu_decode(data, size)
+    except RuntimeError:
+        pass
     n = int.from_bytes(data[0:4], "little")
     L = int.from_bytes(data[4:8], "little")
     if expected_n is not None and n != expected_n:

@@ -162,3 +162,59 @@ def test_write_fast_preview_falls_back_to_full_decode(rng):
     meta, anchors, subbands, upto = read_preview(blob, 1)
     assert upto == 1
     assert len(subbands) == 1
+
+
+# -- native/Python decoder parity (native/tpu_rans.cpp) ----------------------
+
+
+def _force_python(monkeypatch):
+    import rustyhgi_tpu.ops.native as nat
+
+    monkeypatch.setattr(nat, "available", lambda: False)
+
+
+def test_native_and_python_decoders_bit_identical(rng, monkeypatch):
+    from rustyhgi_tpu.ops import native as nat
+
+    if not nat.available():
+        pytest.skip("native library unavailable")
+    for p in (0.05, 0.4):
+        data = (rng.geometric(p, 150_000) % 256).astype(np.uint8).tobytes()
+        enc = encode_bytes(data)
+        out_native = decode_bytes(enc, expected_n=len(data))
+        _force_python(monkeypatch)
+        out_py = decode_bytes(enc, expected_n=len(data))
+        monkeypatch.undo()
+        assert np.array_equal(out_native, out_py)
+        assert out_native.tobytes() == data
+
+
+def test_native_and_python_reject_identically(rng, monkeypatch):
+    """Both backends must agree on accept/reject for corrupted inputs."""
+    from rustyhgi_tpu.ops import native as nat
+
+    if not nat.available():
+        pytest.skip("native library unavailable")
+    data = (rng.geometric(0.2, 40_000) % 256).astype(np.uint8).tobytes()
+    enc = encode_bytes(data)
+    for _ in range(80):
+        b = bytearray(enc)
+        cut = int(rng.integers(1, len(b)))
+        b = b[:cut]
+        if len(b) > 8:
+            b[int(rng.integers(0, len(b)))] ^= 0xFF
+        blob = bytes(b)
+
+        def run():
+            try:
+                return True, decode_bytes(blob, expected_n=len(data))
+            except ValueError:
+                return False, None
+
+        ok_native, out_native = run()
+        _force_python(monkeypatch)
+        ok_py, out_py = run()
+        monkeypatch.undo()
+        assert ok_native == ok_py
+        if ok_native:
+            assert np.array_equal(out_native, out_py)
