@@ -191,8 +191,13 @@ class HGICodec:
         key = ("sb",) + image.shape
         fn = self._encode_cache.get(key)
         if fn is None:
+            from ..ops.pallas_codec import supported_subbands
+
             levels, quant = self.levels, self._quantize_fn()
-            if self._use_pallas(image.shape[-2:], need_quantize=True):
+            h, w = image.shape[-2:]
+            if self._use_pallas((h, w), need_quantize=True) and (
+                supported_subbands(levels, h, w, quant, self.predictor)
+            ):
                 from ..ops.pallas_codec import encode_subbands_pallas
 
                 pred_name = self.predictor

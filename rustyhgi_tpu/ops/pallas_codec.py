@@ -50,6 +50,7 @@ from .quantizers import LinearQuantizer, NoOpQuantizer
 
 __all__ = [
     "supported",
+    "supported_subbands",
     "encode_plane_pallas",
     "encode_subbands_pallas",
     "decode_plane_pallas",
@@ -791,6 +792,41 @@ def _sub_layout(levels: int, wp: int):
     return out
 
 
+def _sub_plan(h, w, levels, halo_mult, tile_rows):
+    """Tile plan for the subband-emitting kernel.
+
+    Mosaic requires output block rows divisible by 8 (or the full array);
+    the coarsest output's block rows are ``th >> levels``, so ``th`` is
+    rounded up to a multiple of ``8 << levels`` (a multiple of every halo
+    this kernel uses).  When that exceeds the canvas, _plan clamps and the
+    plan degenerates to one tile — full-array blocks, constraint-free.
+    """
+    quantum = 8 << levels
+    base = _plan(h, w, levels, halo_mult, tile_rows)
+    th = base[3]
+    rounded = cdiv(th if tile_rows is None else tile_rows, quantum) * quantum
+    return _plan(h, w, levels, halo_mult, rounded)
+
+
+def supported_subbands(levels: int, h: int, w: int, quantize, predictor) -> bool:
+    """Whether the subband-emitting kernel covers this configuration.
+
+    :func:`supported` plus a VMEM bound: the forced ``8 << levels`` tile
+    quantum makes deep-level tiles tall, and Mosaic's scoped VMEM is
+    ~16 MB (measured OOM at th=1088 on a 1920-wide canvas).
+    """
+    if not supported(levels, h, w, quantize, predictor):
+        return False
+    lv = effective_levels(levels, h, w)
+    lossless = quantize is None or getattr(quantize, "identity", False) or (
+        getattr(quantize, "error", None) == 0
+    )
+    hp_t, wp, wc, th, halo, n_tiles = _sub_plan(
+        h, w, lv, 1 if lossless else 2, None
+    )
+    return (th + halo) * wc * 4 * 8 <= 14_000_000
+
+
 @partial(
     jax.jit,
     static_argnames=("levels", "error", "predictor", "want_recon", "tile_rows"),
@@ -800,7 +836,7 @@ def _encode_sub_batch(image, levels, error, predictor, want_recon, tile_rows):
     levels = effective_levels(levels, h, w)
     quantize = None if error is None else LinearQuantizer(error)
     lossless = quantize is None
-    hp_t, wp, wc, th, halo, n_tiles = _plan(
+    hp_t, wp, wc, th, halo, n_tiles = _sub_plan(
         h, w, levels, 1 if lossless else 2, tile_rows
     )
     padless = (wp == w) and h < hp_t + halo and not _interpret()

@@ -294,13 +294,21 @@ def finalize_stream(
 
 
 def encode_bytes(data: bytes) -> bytes:
-    """Convenience end-to-end encode (device compute + host framing)."""
+    """Convenience end-to-end encode (device compute + host framing).
+
+    Fetches only the compacted word prefix (the payload itself), not the
+    full fixed-capacity stream buffer — on a slow host<->device link the
+    transfer is the coded bytes plus one counts round trip.
+    """
     flat = jnp.asarray(np.frombuffer(data, np.uint8))
     if flat.shape[0] == 0:
         return (0).to_bytes(4, "little") + (0).to_bytes(4, "little")
-    freq, counts, states, body = jax.jit(encode_device)(flat)
+    freq, counts, states, stream = jax.jit(encode_device)(flat)
+    freq_np, counts_np, states_np = jax.device_get((freq, counts, states))
+    L = counts_np.shape[0]
+    rows = min(int(stream.shape[0]), -(-int(counts_np.sum()) // L))
     return finalize_stream(
-        len(data), np.asarray(freq), counts, states, body
+        len(data), freq_np, counts_np, states_np, np.asarray(stream[:rows])
     )
 
 
