@@ -250,7 +250,8 @@ def _code(fine, pred, quantize, mask):
 # -- encode -----------------------------------------------------------------
 
 
-def _encode_core(D, lrem, quantize, tree, maskf, sy, sx, sub=False):
+def _encode_core(D, lrem, quantize, tree, maskf, sy, sx, sub=False,
+                 emit_rows=None):
     """Two pyramid levels on a planar-decomposed lattice + recursion.
 
     ``D[ry][rx]`` are the 16 stride-4 planes of the current lattice
@@ -260,7 +261,7 @@ def _encode_core(D, lrem, quantize, tree, maskf, sy, sx, sub=False):
     recursion collects the SUBBAND emission instead of assembling a
     sub-grid: ``grid_planes[0][0]`` is None and ``subinfo`` is
     ``(anchor_plane, levels_list)`` per :func:`_sub_arr`; ``sub=False``
-    returns ``subinfo=None``.
+    returns ``subinfo=None``.  ``emit_rows``: see :func:`_sub_arr`.
     """
     lossless = quantize is None
     S = D[0][0]
@@ -268,10 +269,12 @@ def _encode_core(D, lrem, quantize, tree, maskf, sy, sx, sub=False):
     if lrem == 2:
         gsub, rsub = S, S  # anchors: raw values (src/encoder.rs:26-37)
         if sub:
-            gsub, subinfo = None, (S, [])
+            rq = None if emit_rows is None else emit_rows >> 2
+            gsub, subinfo = None, (_crop_plane(S, rq), [])
     elif sub:
         anc, levels_sub, rsub = _sub_arr(
-            S, lrem - 2, quantize, tree, maskf, 4 * sy, 4 * sx
+            S, lrem - 2, quantize, tree, maskf, 4 * sy, 4 * sx,
+            emit_rows=None if emit_rows is None else emit_rows >> 2,
         )
         gsub, subinfo = None, (anc, levels_sub)
     else:
@@ -369,38 +372,65 @@ def _encode_arr(X, lrem, quantize, tree, maskf, sy, sx):
 #   <= 1/4 of the data — so the 2-byte output costs nothing measurable.
 
 
-def _pair(A0, B0, A2, B2):
+def _crop_plane(p, rows):
+    """Crop a plane's sublane dim to its final emission rows.
+
+    Cropping BEFORE the pair/stack packing matters on TPU: with the
+    bottom halo attached, plane row counts are 8-misaligned (e.g. 17 =
+    (256+16)/16), and Mosaic lowers the (m, 2, n) -> (2m, n) interleave
+    reshape on misaligned sublanes through a scalar fallback (~100us of
+    a 360us 1080p-x8 kernel, measured).  The tile's own rows are a
+    multiple of ``8 << levels``, so every cropped shape is aligned.
+    """
+    return p if rows is None or p.shape[-2] <= rows else p[..., :rows, :]
+
+
+def _pair(A0, B0, A2, B2, rows=None):
     """Pair-pack a finest-level quad: (rows r even: A0|B0<<8; odd: A2|B2<<8)."""
-    u0 = A0 | (B0 << 8)
-    u2 = A2 | (B2 << 8)
+    u0 = _crop_plane(A0 | (B0 << 8), rows)
+    u2 = _crop_plane(A2 | (B2 << 8), rows)
     st = jnp.stack([u0, u2], axis=-2)  # [..., m, 2, n]
     return st.reshape(*u0.shape[:-2], 2 * u0.shape[-2], u0.shape[-1])
 
 
-def _sub_levels_from_gp(gp):
-    """(level_A_entry, level_B_entry) from a 4x4 grid-plane list."""
-    level_a = ("vals", (gp[0][2], gp[2][0], gp[2][2]))
+def _sub_levels_from_gp(gp, rq=None):
+    """(level_A_entry, level_B_entry) from a 4x4 grid-plane list.
+
+    ``rq`` crops every plane to its final emission rows first (see
+    :func:`_crop_plane`).
+    """
+    level_a = (
+        "vals",
+        (
+            _crop_plane(gp[0][2], rq),
+            _crop_plane(gp[2][0], rq),
+            _crop_plane(gp[2][2], rq),
+        ),
+    )
     level_b = (
         "pairs",
         (
-            _pair(gp[0][1], gp[0][3], gp[2][1], gp[2][3]),  # q01: (2r, 2c+1)
-            _pair(gp[1][0], gp[1][2], gp[3][0], gp[3][2]),  # q10: (2r+1, 2c)
-            _pair(gp[1][1], gp[1][3], gp[3][1], gp[3][3]),  # q11: (2r+1, 2c+1)
+            _pair(gp[0][1], gp[0][3], gp[2][1], gp[2][3], rq),  # q01: (2r, 2c+1)
+            _pair(gp[1][0], gp[1][2], gp[3][0], gp[3][2], rq),  # q10: (2r+1, 2c)
+            _pair(gp[1][1], gp[1][3], gp[3][1], gp[3][3], rq),  # q11: (2r+1, 2c+1)
         ),
     )
     return level_a, level_b
 
 
-def _sub_arr(X, lrem, quantize, tree, maskf, sy, sx):
+def _sub_arr(X, lrem, quantize, tree, maskf, sy, sx, emit_rows=None):
     """Subband-encode a materialized lattice.
 
     Returns ``(anchor_plane, levels_list, recon)`` — levels coarsest
     first, ``recon`` the assembled reconstruction lattice the PARENT
-    level predicts from (== X when lossless).
+    level predicts from (== X when lossless).  ``emit_rows`` is the
+    tile's own valid row count at this lattice's scale (None in
+    interpret/whole-array mode): emission outputs are cropped to it
+    eagerly so the packing reshapes see 8-aligned sublane counts.
     """
     lossless = quantize is None
     if lrem == 0:
-        return X, [], X
+        return _crop_plane(X, emit_rows), [], X
     if lrem == 1:
         p4 = _planes_k(X, 2)
         C = p4[0][0]
@@ -411,11 +441,20 @@ def _sub_arr(X, lrem, quantize, tree, maskf, sy, sx):
         g10, r10 = _code(p4[1][0], P, quantize, maskf(sh, sy, 2 * sy, 0, 2 * sx))
         g11, r11 = _code(p4[1][1], P, quantize, maskf(sh, sy, 2 * sy, sx, 2 * sx))
         R = X if lossless else _assemble([[C, r01], [r10, r11]])
-        return C, [("vals", (g01, g10, g11))], R
+        rq = None if emit_rows is None else emit_rows >> 1
+        return (
+            _crop_plane(C, rq),
+            [("vals", (_crop_plane(g01, rq), _crop_plane(g10, rq),
+                       _crop_plane(g11, rq)))],
+            R,
+        )
     gp, rp, (anc, levels_sub) = _encode_core(
-        _planes_k(X, 4), lrem, quantize, tree, maskf, sy, sx, sub=True
+        _planes_k(X, 4), lrem, quantize, tree, maskf, sy, sx, sub=True,
+        emit_rows=emit_rows,
     )
-    level_a, level_b = _sub_levels_from_gp(gp)
+    level_a, level_b = _sub_levels_from_gp(
+        gp, None if emit_rows is None else emit_rows >> 2
+    )
     recon = X if rp is None else _assemble(rp)
     return anc, levels_sub + [level_a, level_b], recon
 
@@ -504,9 +543,10 @@ def _encode_sub_tile(xw, levels, quantize, tree, maskf, out_rows, want_recon,
     try:
         D = _bytes16_from_u32(xw, valid)
         gp, rp, (anc, levels_sub) = _encode_core(
-            D, levels, quantize, tree, maskf, 1, 1, sub=True
+            D, levels, quantize, tree, maskf, 1, 1, sub=True,
+            emit_rows=out_rows,
         )
-        level_a, level_b = _sub_levels_from_gp(gp)
+        level_a, level_b = _sub_levels_from_gp(gp, out_rows >> 2)
         entries = levels_sub + [level_a, level_b]
         outs = [_crop_rows(anc, out_rows >> levels).astype(jnp.uint16)]
         for lv, (kind, quads) in enumerate(entries):
@@ -796,16 +836,31 @@ def _sub_plan(h, w, levels, halo_mult, tile_rows):
     """Tile plan for the subband-emitting kernel.
 
     Mosaic requires output block rows divisible by 8 (or the full array);
-    the coarsest output's block rows are ``th >> levels``, so ``th`` is
-    rounded up to a multiple of ``8 << levels`` (a multiple of every halo
-    this kernel uses).  When that exceeds the canvas, _plan clamps and the
-    plan degenerates to one tile — full-array blocks, constraint-free.
+    the coarsest output's block rows are ``th >> levels``, so ``th`` must
+    be a multiple of ``8 << levels`` (a multiple of every halo this
+    kernel uses).  The tile height is chosen by _plan's own cost model
+    over quantum multiples — NOT by rounding _plan's preferred height up,
+    which at levels=4 landed on 256 and measured ~17% slower than 128 on
+    v5e (redundant padding rows dominate).  When the quantum exceeds the
+    canvas, _plan clamps and the plan degenerates to one tile —
+    full-array blocks, constraint-free.
     """
     quantum = 8 << levels
-    base = _plan(h, w, levels, halo_mult, tile_rows)
-    th = base[3]
-    rounded = cdiv(th if tile_rows is None else tile_rows, quantum) * quantum
-    return _plan(h, w, levels, halo_mult, rounded)
+    if tile_rows is not None:
+        rounded = cdiv(tile_rows, quantum) * quantum
+        return _plan(h, w, levels, halo_mult, rounded)
+    step = 1 << levels
+    hp = cdiv(h, step) * step
+    halo = max(halo_mult * step, 8)
+    best, bth = None, quantum
+    for cand in range(quantum, max(4 * quantum, 2 * _BASE_TILE) + 1, quantum):
+        hp_c = cdiv(hp, cand) * cand
+        cost = (hp_c - hp) + hp_c * halo / cand + abs(cand - _BASE_TILE) / 8
+        if best is None or cost < best:
+            best, bth = cost, cand
+        if cand >= hp:  # one-tile plan; larger cands only add padding
+            break
+    return _plan(h, w, levels, halo_mult, bth)
 
 
 def supported_subbands(levels: int, h: int, w: int, quantize, predictor) -> bool:
