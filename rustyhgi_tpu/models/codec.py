@@ -226,6 +226,53 @@ class HGICodec:
             self._decode_cache[key] = fn
         return fn(anchors, subbands)
 
+    def _grid_only_fn(self, shape: Tuple[int, ...]):
+        """Residual-grid-only encode (no recon output) for the fast path."""
+        levels, quant = self.levels, self._quantize_fn()
+        if self._use_pallas(shape[-2:], need_quantize=True):
+            from ..ops.pallas_codec import encode_plane_pallas
+
+            pred_name = self.predictor
+
+            def _grid(img):
+                return encode_plane_pallas(
+                    img, levels, quant, pred_name, want_recon=False
+                )[0]
+        else:
+            pred = self._predictor_fn
+
+            def _grid(img):
+                return pyramid.reconstruct_encode(img, levels, quant, pred)
+
+        return _grid
+
+    def _fast_fn(self, shape: Tuple[int, int], guess: int):
+        """Fused encode+entropy program returning (prefix, full buffer).
+
+        The prefix slice lives INSIDE the jit: it is a materialized
+        executable output, so the host fetch is a pure D2H transfer.
+        Slicing outside the jit (the round-3 design) dispatched a second
+        program per call — one extra ~25 ms round trip on the tunnelled
+        link, enough to lose to the host-entropy path in BENCH_r03.
+        ``guess`` is static (32-row buckets; at most a couple of
+        executables per shape since the cached row estimate stabilizes).
+        """
+        from ..ops.tpurans import encode_device_packed, lanes_for, meta_rows_for
+
+        key = ("fast", shape, guess)
+        fn = self._encode_cache.get(key)
+        if fn is None:
+            _grid = self._grid_only_fn(shape)
+            meta = meta_rows_for(lanes_for(shape[0] * shape[1]))
+
+            def run(img):
+                out = encode_device_packed(_grid(img).reshape(-1))
+                return out[: meta + guess], out
+
+            fn = jax.jit(run)
+            self._encode_cache[key] = fn
+        return fn
+
     def write_fast(self, image) -> bytes:
         """Fastest encode-to-archive: one fused device program.
 
@@ -233,18 +280,17 @@ class HGICodec:
         device rANS (ops.tpurans) run as a SINGLE jit — the residual
         grid never round-trips to the host, and only entropy-coded bytes
         ever cross the host<->device link.  Counts/states/table ride
-        header rows of the same buffer (encode_device_packed), so on a
-        high-latency link the host pays ONE prefix fetch sized by a
-        cached per-shape estimate of the longest lane (32-row buckets
-        keep slicer executables cached; an under-estimate — first call,
-        or an image far busier than the last — fetches the missing tail
-        once).  The host only frames the payload into a .thgi (rowmajor
-        layout, rans_tpu codec) — byte-identical to
+        header rows of the same buffer (encode_device_packed) and the
+        prefix slice is part of the same program, so on a high-latency
+        link the host pays ONE dispatch and ONE transfer sized by a
+        cached per-shape estimate of the coded size (an under-estimate —
+        first call, or an image far busier than the last — fetches the
+        missing tail once).  The host only frames the payload into a
+        .thgi (rowmajor layout, rans_tpu codec) — byte-identical to
         ``write_thgi(archive, fast=True)`` on the same backend.
         """
         from ..ops.tpurans import (
             MAX_SYMBOLS,
-            encode_device_packed,
             finalize_stream,
             lanes_for,
             meta_rows_for,
@@ -272,34 +318,13 @@ class HGICodec:
                 Archive(self.metadata_for(h, w), np.asarray(grid)),
                 layouts=("rowmajor",),
             )
-        key = ("fast",) + image.shape
-        fn = self._encode_cache.get(key)
-        if fn is None:
-            levels, quant = self.levels, self._quantize_fn()
-            if self._use_pallas((h, w), need_quantize=True):
-                from ..ops.pallas_codec import encode_plane_pallas
-
-                pred_name = self.predictor
-
-                def _grid(img):
-                    return encode_plane_pallas(
-                        img, levels, quant, pred_name, want_recon=False
-                    )[0]
-            else:
-                pred = self._predictor_fn
-
-                def _grid(img):
-                    return pyramid.reconstruct_encode(img, levels, quant, pred)
-
-            fn = jax.jit(lambda img: encode_device_packed(_grid(img).reshape(-1)))
-            self._encode_cache[key] = fn
-        out = fn(image)
         L = lanes_for(n)
         meta = meta_rows_for(L)
-        T = int(out.shape[0]) - meta
-        est = self._encode_cache.get(("fast_rows",) + image.shape, T)
+        T = -(-n // L)
+        est = self._encode_cache.get(("fast_rows",) + tuple(image.shape), T)
         guess = min(T, -(-est // 32) * 32)
-        head_np = np.asarray(out[: meta + guess])
+        head, out = self._fast_fn(tuple(image.shape), guess)(image)
+        head_np = np.asarray(head)
         freq_np, counts_np, states_np = unpack_meta(head_np[:meta], L)
         rows = min(T, -(-int(counts_np.sum()) // L))  # rows holding words
         if rows <= guess:
@@ -311,13 +336,92 @@ class HGICodec:
         # Next call for this shape fetches ~15% headroom over this image
         # (the word TOTAL is far steadier across images than any per-lane
         # maximum — it is the coded size itself).
-        self._encode_cache[("fast_rows",) + image.shape] = rows + max(
+        self._encode_cache[("fast_rows",) + tuple(image.shape)] = rows + max(
             rows // 8, 2
         )
         payload = finalize_stream(n, freq_np, counts_np, states_np, stream_np)
         return _thgi_frame(
             self.metadata_for(h, w), _LAYOUT_ROWMAJOR, _CODEC_RANS_TPU, n, payload
         )
+
+    def write_fast_batch(self, images) -> list:
+        """Batched :meth:`write_fast`: [B, H, W] -> list of .thgi blobs.
+
+        ONE device program encodes and entropy-codes every plane (the
+        Pallas kernel runs batch as a grid dimension; the device rANS is
+        vmapped over it), and ONE prefix transfer brings back all B
+        payload heads.  Each returned blob is byte-identical to
+        ``write_fast`` on that plane alone — per-plane frequency tables,
+        independent streams — so the batch path composes with the
+        serving story without changing the format.
+        """
+        from ..ops.tpurans import (
+            MAX_SYMBOLS,
+            encode_device_packed,
+            finalize_stream,
+            lanes_for,
+            meta_rows_for,
+            unpack_meta,
+        )
+        from ..utils.container import (
+            _CODEC_RANS_TPU,
+            _LAYOUT_ROWMAJOR,
+            _thgi_frame,
+        )
+
+        images = jnp.asarray(images, dtype=jnp.uint8)
+        if images.ndim != 3:
+            raise ValueError(f"expected [B, H, W], got {images.shape}")
+        b, h, w = images.shape
+        if b == 0:
+            return []
+        n = h * w
+        if n > MAX_SYMBOLS:
+            return [self.write_fast(images[i]) for i in range(b)]
+        L = lanes_for(n)
+        meta = meta_rows_for(L)
+        T = -(-n // L)
+        est = self._encode_cache.get(("fast_rows", h, w), T)
+        guess = min(T, -(-est // 32) * 32)
+        key = ("fastb", images.shape, guess)
+        fn = self._encode_cache.get(key)
+        if fn is None:
+            _grid = self._grid_only_fn(images.shape)
+
+            def run(imgs):
+                grids = _grid(imgs)  # [B, H, W] via the native batch entry
+                out = jax.vmap(
+                    lambda g: encode_device_packed(g.reshape(-1))
+                )(grids)
+                return out[:, : meta + guess], out
+
+            fn = jax.jit(run)
+            self._encode_cache[key] = fn
+        heads, out = fn(images)
+        heads_np = np.asarray(heads)  # [B, meta+guess, L] in one transfer
+        blobs = []
+        max_rows = 0
+        for i in range(b):
+            freq_np, counts_np, states_np = unpack_meta(heads_np[i, :meta], L)
+            rows = min(T, -(-int(counts_np.sum()) // L))
+            max_rows = max(max_rows, rows)
+            if rows <= guess:
+                stream_np = heads_np[i, meta:]
+            else:
+                kb = min(T, -(-rows // 32) * 32)
+                tail = np.asarray(out[i, meta + guess : meta + kb])
+                stream_np = np.concatenate([heads_np[i, meta:], tail], axis=0)
+            payload = finalize_stream(n, freq_np, counts_np, states_np, stream_np)
+            blobs.append(
+                _thgi_frame(
+                    self.metadata_for(h, w), _LAYOUT_ROWMAJOR, _CODEC_RANS_TPU,
+                    n, payload,
+                )
+            )
+        self._encode_cache[("fast_rows", h, w)] = max_rows + max(
+            max_rows // 8, 2
+        )
+        return blobs
 
     def decode_preview(self, anchors, subbands, shape, upto: int):
         """Progressive decode: the 2**(levels-upto)-downsampled preview.

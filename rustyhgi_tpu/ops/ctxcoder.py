@@ -338,12 +338,19 @@ def ctx_decode(
 # The split is a pure function of (pieces, K), so decoders recompute it.
 
 _CTX_MT_MAX_CHUNKS = 8
-_CTX_MT_CHUNK_BYTES = 2 << 20  # ~2 MB per chunk target
+_CTX_MT_CHUNK_BYTES = 1 << 20  # ~1 MB per chunk target
 
 
 def ctx_mt_chunks(total_bytes: int) -> int:
-    """Deterministic chunk count for a payload size (1 = use plain ctx)."""
-    return max(1, min(_CTX_MT_MAX_CHUNKS, total_bytes // _CTX_MT_CHUNK_BYTES))
+    """Deterministic chunk count for a payload size (1 = use plain ctx).
+
+    Rounded (not floored) division: a 1080p plane (2,073,600 B) must get
+    2 chunks, not fall just under a power-of-two threshold and silently
+    run serial — the exact pathology of the round-3 bench artifact, where
+    ctx_mt measured 1.0x because k evaluated to 1.
+    """
+    k = (total_bytes + _CTX_MT_CHUNK_BYTES // 2) // _CTX_MT_CHUNK_BYTES
+    return max(1, min(_CTX_MT_MAX_CHUNKS, k))
 
 
 def split_pieces(

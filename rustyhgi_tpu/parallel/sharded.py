@@ -66,6 +66,23 @@ def _cache_put(key, fn):
     return fn
 
 
+def _use_pallas_engine(levels, h, w, quant, predictor) -> bool:
+    """Route the per-device shard through the fused Pallas kernel?
+
+    On TPU meshes the production engine (ops.pallas_codec — the same
+    kernel HGICodec's auto backend ships) runs each device's local
+    [b, H, W] shard as a batch grid dimension; off-TPU (CPU tests,
+    dryrun_multichip) the kernel would only interpret, so the XLA
+    engine serves.  Both engines are bit-exact vs the oracle, so the
+    mesh-shape byte-invariance contract is engine-independent.
+    """
+    if jax.default_backend() != "tpu":
+        return False
+    from ..ops import pallas_codec
+
+    return pallas_codec.supported(levels, h, w, quant, predictor)
+
+
 def encode_batch_sharded(
     images,
     levels: int,
@@ -110,11 +127,20 @@ def encode_batch_sharded(
 
         quant = quantize_fn(quantization)
         pred = predictor_fn(predictor)
+        h, w = images.shape[-2:]
+        use_pallas = _use_pallas_engine(levels, h, w, quant, predictor)
 
         def local_encode(imgs):
-            grids, recons = jax.vmap(
-                lambda im: pyramid.encode_plane(im, levels, quant, pred)
-            )(imgs)
+            if use_pallas:
+                from ..ops import pallas_codec
+
+                grids, recons = pallas_codec.encode_plane_pallas(
+                    imgs, levels, quant, predictor
+                )
+            else:
+                grids, recons = jax.vmap(
+                    lambda im: pyramid.encode_plane(im, levels, quant, pred)
+                )(imgs)
             if with_histogram:
                 # Device-side residual histogram; summed over the whole
                 # mesh so every device sees the same coder table input.
@@ -158,8 +184,14 @@ def decode_batch_sharded(
         from ..ops.predictors import predictor_fn
 
         pred = predictor_fn(predictor)
+        h, w = grids.shape[-2:]
+        use_pallas = _use_pallas_engine(levels, h, w, None, predictor)
 
         def local_decode(gs):
+            if use_pallas:
+                from ..ops import pallas_codec
+
+                return pallas_codec.decode_plane_pallas(gs, levels, predictor)
             return jax.vmap(
                 lambda g: pyramid.decode_plane(g, levels, pred)
             )(gs)

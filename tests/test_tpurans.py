@@ -152,6 +152,24 @@ def test_write_fast_emits_rans_tpu_and_reads_back(rng):
     assert tag == _CODEC_RANS_TPU
 
 
+def test_write_fast_batch_matches_per_plane(rng):
+    from rustyhgi_tpu.models.codec import HGICodec
+    from rustyhgi_tpu.utils.container import read_thgi
+
+    imgs = rng.integers(0, 256, (3, 61, 83), dtype=np.uint8)
+    codec = HGICodec(3, "medium")
+    blobs = codec.write_fast_batch(imgs)
+    assert len(blobs) == 3
+    for i, blob in enumerate(blobs):
+        # Byte-identical to the single-plane fast path...
+        assert blob == codec.write_fast(imgs[i])
+        # ...and decodes to the right grid.
+        arch = read_thgi(blob)
+        expect = np.asarray(codec.encode_plane(imgs[i])[0])
+        assert np.array_equal(arch.grid, expect)
+    assert codec.write_fast_batch(imgs[:0]) == []
+
+
 def test_write_fast_preview_falls_back_to_full_decode(rng):
     from rustyhgi_tpu.models.codec import HGICodec
     from rustyhgi_tpu.utils.container import read_preview
