@@ -19,7 +19,9 @@ not reliably block until device completion.  All device timings therefore
 chain K dependent iterations of the workload inside ONE jitted
 ``lax.fori_loop`` dispatch, fetch one element to force completion, and
 report the slope between two K values — pure steady-state device time,
-independent of dispatch latency.
+independent of dispatch latency.  The complete-encode engine candidates
+are sampled in interleaved rounds (engine order alternates so tunnel
+drift hits every row equally) and recorded as median + min/max spread.
 
 The benchmark image mirrors the reference's criterion setup
 (reference: benches/bench.rs:15-31): synthetic 1920x1080 with
@@ -160,25 +162,28 @@ def main() -> int:
     dbatch = jax.device_put(jnp.asarray(batch), dev)
 
     quant = quantize_fn(QuantizationLevel.LOSSLESS)
+    quant_m_early = quantize_fn(QuantizationLevel.MEDIUM)
 
-    def enc_step(x):
-        # Headline: the subband encode — a complete encode to the archivable
-        # representation (the .thgi subband container's exact payload),
-        # skipping the row-major grid assembly that exists only for .hgi
-        # byte interop.  EVERY output (anchors + all residual quads of all
-        # levels) is reduced into the carry: in lossless mode the recon
-        # carry alone equals the input, so any output left unused lets XLA
+    def _sb_reduce(x, res):
+        # EVERY output (anchors + all residual quads of all levels) is
+        # reduced into the carry: any output left unused lets XLA
         # dead-code-eliminate its predictor/residual math and inflate the
-        # metric (verified twice against compiled HLO).  The sums cost ~1
-        # extra pass over ~H*W bytes — an under-reporting bias, never over.
-        anchors, subbands, _ = pyramid.encode_subbands(
-            x, LEVELS, quant, want_recon=False
-        )
+        # metric (verified against compiled HLO).  The sums cost ~1 extra
+        # pass over ~H*W bytes — an under-reporting bias, never over.
+        anchors, subbands, _ = res
         acc = jnp.sum(anchors, dtype=jnp.int32)
         for level_quads in subbands:
             for q in level_quads:
                 acc = acc + jnp.sum(q, dtype=jnp.int32)
         return x ^ (acc & 255).astype(jnp.uint8)
+
+    def enc_step(x):
+        # Subband encode: a complete encode to the archivable .thgi
+        # subband payload, skipping the row-major grid assembly that
+        # exists only for .hgi byte interop.
+        return _sb_reduce(x, pyramid.encode_subbands(
+            x, LEVELS, quant, want_recon=False
+        ))
 
     def enc_grid_step(x):
         g, r = pyramid.encode_plane(x, LEVELS, quant)
@@ -187,86 +192,125 @@ def main() -> int:
     def dec_step(x):
         return pyramid.decode_plane(x, LEVELS)
 
-    t_enc = device_seconds_per_call(enc_step, dbatch, floor_bytes=2 * npix_batch)
-    enc_mpixps = npix_batch / t_enc / 1e6
-    log(f"encode (subband): {t_enc * 1e3:.2f} ms/batch -> {enc_mpixps:.0f} MPix/s")
+    # -- engine candidates: interleaved repeat sampling (VERDICT r3 #1) -----
+    # Every complete-encode engine is measured ENGINE_ROUNDS times with
+    # the rounds interleaved (engine order alternates), so tunnel drift
+    # hits all rows equally; the recorded median + min/max spread replace
+    # the single-sample rows that made r01-r03 artifacts irreproducible.
+    # The Pallas kernel always computes every residual internally
+    # (nothing for XLA to dead-code-eliminate); want_recon=False only
+    # skips the second output write — honest complete-encode numbers.
+    from rustyhgi_tpu.ops import pallas_codec
 
-    t_enc_grid = device_seconds_per_call(enc_grid_step, dbatch, floor_bytes=3 * npix_batch)
-    enc_grid_mpixps = npix_batch / t_enc_grid / 1e6
-    log(f"encode (grid):    {t_enc_grid * 1e3:.2f} ms/batch -> {enc_grid_mpixps:.0f} MPix/s")
+    def enc_pl_step(x):
+        return pallas_codec.encode_plane_pallas(
+            x, LEVELS, quant, "crossed", want_recon=False
+        )[0]
 
-    t_dec = device_seconds_per_call(dec_step, dbatch, floor_bytes=2 * npix_batch)
-    dec_mpixps = npix_batch / t_dec / 1e6
-    log(f"decode (grid): {t_dec * 1e3:.2f} ms/batch -> {dec_mpixps:.0f} MPix/s")
+    def enc_pl_sb_step(x):
+        return _sb_reduce(x, pallas_codec.encode_subbands_pallas(
+            x, LEVELS, quant, "crossed", want_recon=False))
 
-    # -- fused Pallas whole-pyramid codec (the production TPU backend) ------
-    # The kernel always computes every residual internally (nothing for
-    # XLA to dead-code-eliminate); want_recon=False only skips the second
-    # output write, so these are honest complete-encode numbers.
+    ENGINE_ROUNDS = 3
+    engine_rows = [
+        ("xla_subband", enc_step, 2),
+        ("xla_grid", enc_grid_step, 3),
+        ("pallas_grid", enc_pl_step, 2),
+        ("pallas_subband", enc_pl_sb_step, 2),
+    ]
+    engine_samples = {name: [] for name, _, _ in engine_rows}
+    for rnd in range(ENGINE_ROUNDS):
+        for name, step, floor_mult in engine_rows:
+            try:
+                t = device_seconds_per_call(
+                    step, dbatch, k_lo=8, k_hi=232,
+                    floor_bytes=floor_mult * npix_batch,
+                )
+                engine_samples[name].append(npix_batch / t / 1e6)
+                log(f"  round {rnd} {name:16s} "
+                    f"{npix_batch / t / 1e6:8.0f} MPix/s")
+            except Exception as e:
+                log(f"  round {rnd} {name} failed: {e}")
+    engines = {}
+    for name, vals in engine_samples.items():
+        if not vals:
+            continue
+        v = np.asarray(vals)
+        med = float(np.median(v))
+        engines[name] = {
+            "median_mpix_s": med,
+            "min_mpix_s": float(v.min()),
+            "max_mpix_s": float(v.max()),
+            "spread_pct": float((v.max() - v.min()) / med * 100.0),
+            "samples": [round(float(s), 1) for s in vals],
+        }
+        log(f"{name:16s} median {med:8.0f}  spread "
+            f"{engines[name]['spread_pct']:5.1f}%")
+
+    enc_mpixps = engines.get("xla_subband", {}).get("median_mpix_s", 0.0)
+    enc_grid_mpixps = engines.get("xla_grid", {}).get("median_mpix_s", 0.0)
+
+    # -- decode + lossy rows: same interleaved-median treatment -------------
+    # (a single noisy slope once recorded a 6x-too-fast decode row; the
+    # median of interleaved rounds rejects such flukes structurally)
     pallas_rows = {}
-    try:
-        from rustyhgi_tpu.ops import pallas_codec
+    for name, vals in (
+        ("encode_grid_lossless_mpix_s", engine_samples.get("pallas_grid")),
+        ("encode_subband_lossless_mpix_s",
+         engine_samples.get("pallas_subband")),
+    ):
+        if vals:
+            pallas_rows[name] = float(np.median(np.asarray(vals)))
 
-        def enc_pl_step(x):
-            return pallas_codec.encode_plane_pallas(
-                x, LEVELS, quant, "crossed", want_recon=False
-            )[0]
+    def dec_pl_step(x):
+        return pallas_codec.decode_plane_pallas(x, LEVELS, "crossed")
 
-        def dec_pl_step(x):
-            return pallas_codec.decode_plane_pallas(x, LEVELS, "crossed")
+    def enc_pl_m_step(x):
+        return pallas_codec.encode_plane_pallas(
+            x, LEVELS, quant_m_early, "crossed", want_recon=False
+        )[0]
 
-        quant_m_early = quantize_fn(QuantizationLevel.MEDIUM)
+    def enc_pl_sb_m_step(x):
+        return _sb_reduce(x, pallas_codec.encode_subbands_pallas(
+            x, LEVELS, quant_m_early, "crossed", want_recon=False))
 
-        def enc_pl_m_step(x):
-            return pallas_codec.encode_plane_pallas(
-                x, LEVELS, quant_m_early, "crossed", want_recon=False
-            )[0]
+    def enc_step_m(x):
+        g, r = pyramid.encode_plane(x, LEVELS, quant_m_early)
+        return g ^ r
 
-        t = device_seconds_per_call(enc_pl_step, dbatch, floor_bytes=2 * npix_batch)
-        pallas_rows["encode_grid_lossless_mpix_s"] = npix_batch / t / 1e6
-        log(f"pallas encode (grid): {t * 1e3:.2f} ms/batch -> "
-            f"{pallas_rows['encode_grid_lossless_mpix_s']:.0f} MPix/s")
+    aux_rows = [
+        ("xla_decode_grid", dec_step, 2),
+        ("pallas_decode_grid", dec_pl_step, 2),
+        ("pallas_encode_grid_medium", enc_pl_m_step, 2),
+        ("pallas_encode_subband_medium", enc_pl_sb_m_step, 2),
+        ("xla_encode_grid_medium", enc_step_m, 3),
+    ]
+    aux_samples = {name: [] for name, _, _ in aux_rows}
+    for rnd in range(ENGINE_ROUNDS):
+        for name, step, floor_mult in aux_rows:
+            try:
+                t = device_seconds_per_call(
+                    step, dbatch, k_lo=8, k_hi=104,
+                    floor_bytes=floor_mult * npix_batch,
+                )
+                aux_samples[name].append(npix_batch / t / 1e6)
+            except Exception as e:
+                log(f"  round {rnd} {name} failed: {e}")
 
-        t = device_seconds_per_call(dec_pl_step, dbatch, floor_bytes=2 * npix_batch)
-        pallas_rows["decode_grid_mpix_s"] = npix_batch / t / 1e6
-        log(f"pallas decode (grid): {t * 1e3:.2f} ms/batch -> "
-            f"{pallas_rows['decode_grid_mpix_s']:.0f} MPix/s")
+    def _aux_median(name):
+        vals = aux_samples.get(name) or []
+        return float(np.median(np.asarray(vals))) if vals else 0.0
 
-        t = device_seconds_per_call(enc_pl_m_step, dbatch, floor_bytes=2 * npix_batch)
-        pallas_rows["encode_grid_medium_mpix_s"] = npix_batch / t / 1e6
-        log(f"pallas encode medium: {t * 1e3:.2f} ms/batch -> "
-            f"{pallas_rows['encode_grid_medium_mpix_s']:.0f} MPix/s")
-
-        # Subband emission (VERDICT r2 #2): the kernel's per-level planes
-        # packed straight into the .thgi-subband layout.  Every output is
-        # reduced into the carry (same no-DCE discipline as the XLA row).
-        def _sb_reduce(x, res):
-            anchors, subbands, _ = res
-            acc = jnp.sum(anchors, dtype=jnp.int32)
-            for quads in subbands:
-                for q in quads:
-                    acc = acc + jnp.sum(q, dtype=jnp.int32)
-            return x ^ (acc & 255).astype(jnp.uint8)
-
-        def enc_pl_sb_step(x):
-            return _sb_reduce(x, pallas_codec.encode_subbands_pallas(
-                x, LEVELS, quant, "crossed", want_recon=False))
-
-        def enc_pl_sb_m_step(x):
-            return _sb_reduce(x, pallas_codec.encode_subbands_pallas(
-                x, LEVELS, quant_m_early, "crossed", want_recon=False))
-
-        t = device_seconds_per_call(enc_pl_sb_step, dbatch, floor_bytes=2 * npix_batch)
-        pallas_rows["encode_subband_lossless_mpix_s"] = npix_batch / t / 1e6
-        log(f"pallas encode (subband): {t * 1e3:.2f} ms/batch -> "
-            f"{pallas_rows['encode_subband_lossless_mpix_s']:.0f} MPix/s")
-
-        t = device_seconds_per_call(enc_pl_sb_m_step, dbatch, floor_bytes=2 * npix_batch)
-        pallas_rows["encode_subband_medium_mpix_s"] = npix_batch / t / 1e6
-        log(f"pallas encode subband medium: {t * 1e3:.2f} ms/batch -> "
-            f"{pallas_rows['encode_subband_medium_mpix_s']:.0f} MPix/s")
-    except Exception as e:
-        log(f"pallas codec rows failed: {e}")
+    dec_mpixps = _aux_median("xla_decode_grid")
+    log(f"decode (grid): {dec_mpixps:.0f} MPix/s (median)")
+    pallas_rows["decode_grid_mpix_s"] = _aux_median("pallas_decode_grid")
+    pallas_rows["encode_grid_medium_mpix_s"] = _aux_median(
+        "pallas_encode_grid_medium")
+    pallas_rows["encode_subband_medium_mpix_s"] = _aux_median(
+        "pallas_encode_subband_medium")
+    log(f"pallas decode (grid): {pallas_rows['decode_grid_mpix_s']:.0f} "
+        f"MPix/s; encode medium {pallas_rows['encode_grid_medium_mpix_s']:.0f}"
+        f"; subband medium {pallas_rows['encode_subband_medium_mpix_s']:.0f}")
 
     # Subband-direct decode (the .thgi subband archive path): no grid
     # split — the quads feed the per-level reconstruct directly.
@@ -298,15 +342,8 @@ def main() -> int:
     dec_sb_mpixps = npix_batch / t_dec_sb / 1e6
     log(f"decode (subband): {t_dec_sb * 1e3:.2f} ms/batch -> {dec_sb_mpixps:.0f} MPix/s")
 
-    quant_m = quantize_fn(QuantizationLevel.MEDIUM)
-
-    def enc_step_m(x):
-        g, r = pyramid.encode_plane(x, LEVELS, quant_m)
-        return g ^ r
-
-    t_enc_m = device_seconds_per_call(enc_step_m, dbatch, floor_bytes=3 * npix_batch)
-    enc_m_mpixps = npix_batch / t_enc_m / 1e6
-    log(f"encode medium: {t_enc_m * 1e3:.2f} ms/batch -> {enc_m_mpixps:.0f} MPix/s")
+    enc_m_mpixps = _aux_median("xla_encode_grid_medium")
+    log(f"encode medium: {enc_m_mpixps:.0f} MPix/s (median)")
 
     # scalar C++ baseline (reference stand-in), single plane, single thread
     base = {}
@@ -402,17 +439,24 @@ def main() -> int:
             g, _ = codec_m.encode_plane(image)
             return _rans_mt_encode(np.asarray(g).tobytes())
 
+        # e2e rows are medians of interleaved repeats (VERDICT r3 #2):
+        # both paths ride the same tunnel, so alternating the samples
+        # makes the comparison drift-fair.
         e2e_speed()
-        t = min_time(e2e_speed, iters=3)
-        entropy_speed["e2e_rans_mpix_s"] = W * H / t / 1e6
+        fast_blob = codec_m.write_fast(image)  # warm (compile + row est.)
+        fast_blob = codec_m.write_fast(image)  # warm the estimated-guess jit
+        ts_rans, ts_fast = [], []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            e2e_speed()
+            ts_rans.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            codec_m.write_fast(image)
+            ts_fast.append(time.perf_counter() - t0)
+        entropy_speed["e2e_rans_mpix_s"] = W * H / float(np.median(ts_rans)) / 1e6
         log(f"e2e speed path (device encode + threaded rANS): "
             f"{entropy_speed['e2e_rans_mpix_s']:.0f} MPix/s")
-
-        # Fused fast path: Pallas encode + lane-parallel device rANS in
-        # ONE device program; only entropy-coded bytes cross the link.
-        fast_blob = codec_m.write_fast(image)
-        t = min_time(lambda: codec_m.write_fast(image), iters=3)
-        entropy_speed["e2e_fast_mpix_s"] = W * H / t / 1e6
+        entropy_speed["e2e_fast_mpix_s"] = W * H / float(np.median(ts_fast)) / 1e6
         # VERDICT #4 size criterion: device-coded payload vs host rANS
         # on the same residuals.
         from rustyhgi_tpu.ops.entropy import rans_encode as _re
@@ -423,6 +467,18 @@ def main() -> int:
             f"{entropy_speed['e2e_fast_mpix_s']:.0f} MPix/s; payload "
             f"{len(fast_blob)} B = "
             f"{entropy_speed['rans_tpu_payload_vs_host_rans']:.3f}x host rANS")
+
+        # Batched fast path: one program + one prefix fetch for the whole
+        # [B, H, W] batch (the serving shape).
+        try:
+            codec_m.write_fast_batch(batch)  # warm
+            codec_m.write_fast_batch(batch)
+            t = min_time(lambda: codec_m.write_fast_batch(batch), iters=3)
+            entropy_speed["e2e_fast_batch_mpix_s"] = npix_batch / t / 1e6
+            log(f"e2e fast path batched x{BATCH}: "
+                f"{entropy_speed['e2e_fast_batch_mpix_s']:.0f} MPix/s")
+        except Exception as e:
+            log(f"batched fast path failed: {e}")
 
         # Device rANS stage alone (chained slope — the on-chip MB/s).
         from rustyhgi_tpu.ops import tpurans as _tr
@@ -484,6 +540,7 @@ def main() -> int:
         ik = _load("/root/reference/res/ikonos-barcelona-spain.jpg")
         hi, wi = ik.shape
         dik = jax.device_put(jnp.asarray(ik), dev)
+        sweep_steps = {}
         for lv in range(1, 9):
             if _pc.supported(lv, hi, wi, quant, "crossed"):
                 def stp(v, lv=lv):
@@ -495,34 +552,51 @@ def main() -> int:
                 def stp(v, lv=lv):
                     return pyramid.reconstruct_encode(v, lv, quant)
                 engine = "xla"
-            t = device_seconds_per_call(
-                stp, dik, k_lo=8, k_hi=24, floor_bytes=2 * hi * wi
-            )
+            sweep_steps[lv] = (stp, engine)
+        # Two interleaved rounds per level: the sweep exists to expose
+        # level-dependent kernel pathologies (r3's "L7 cliff"), which a
+        # single noisy slope cannot distinguish from tunnel drift.
+        sweep_samples = {lv: [] for lv in sweep_steps}
+        for _ in range(2):
+            for lv, (stp, engine) in sweep_steps.items():
+                t = device_seconds_per_call(
+                    stp, dik, k_lo=8, k_hi=40, floor_bytes=2 * hi * wi
+                )
+                sweep_samples[lv].append(hi * wi / t / 1e6)
+        for lv, (stp, engine) in sweep_steps.items():
+            med = float(np.median(np.asarray(sweep_samples[lv])))
             level_sweep[str(lv)] = {
-                "mpix_s": hi * wi / t / 1e6, "engine": engine,
+                "mpix_s": med, "engine": engine,
+                "samples": [round(s, 0) for s in sweep_samples[lv]],
             }
-            log(f"level_sweep L{lv} ({engine}): {hi * wi / t / 1e6:.0f} MPix/s")
+            log(f"level_sweep L{lv} ({engine}): {med:.0f} MPix/s")
     except Exception as e:
         log(f"level sweep failed: {e}")
 
-    # Headline: the best complete encode to an archivable layout.
-    encode_candidates = {
-        "xla_subband": enc_mpixps,
-        "xla_grid": enc_grid_mpixps,
-        "pallas_grid": pallas_rows.get("encode_grid_lossless_mpix_s", 0.0),
-        "pallas_subband": pallas_rows.get("encode_subband_lossless_mpix_s", 0.0),
-    }
-    headline_engine = max(encode_candidates, key=encode_candidates.get)
-    headline_mpixps = encode_candidates[headline_engine]
+    # Headline: the best complete encode to an archivable layout, by
+    # MEDIAN of the interleaved rounds (never a single lucky sample).
+    headline_engine = max(
+        engines, key=lambda k: engines[k]["median_mpix_s"]
+    )
+    headline_mpixps = engines[headline_engine]["median_mpix_s"]
 
     details = {
         "device": str(dev),
         "config": {
             "w": W, "h": H, "batch": BATCH, "levels": LEVELS,
-            "methodology": "chained fori_loop slope (K=8 vs 40)",
+            "methodology": (
+                "chained fori_loop slope (K=8 vs 232 engines, 8 vs 104 aux); "
+                f"rows = median of {ENGINE_ROUNDS} interleaved rounds"
+            ),
         },
         "headline_engine": headline_engine,
         "headline_mpix_s": headline_mpixps,
+        "headline_spread_pct": engines[headline_engine]["spread_pct"],
+        "engines": engines,
+        "aux_row_samples": {
+            k: [round(float(s), 1) for s in v]
+            for k, v in aux_samples.items() if v
+        },
         "encode_lossless_mpix_s": enc_mpixps,
         "encode_grid_lossless_mpix_s": enc_grid_mpixps,
         "decode_mpix_s": dec_mpixps,

@@ -670,9 +670,18 @@ def _plan(h: int, w: int, levels: int, halo_mult: int, tile_rows=None):
         # Pick the tile height that minimizes redundant work: padded
         # rows (hp_t - hp) plus redundant halo reads (hp_t * halo / th).
         # Measured on v5e: ~128-row tiles pipeline best; large tiles
-        # lose VMEM locality, tiny ones drown in halo re-reads.
+        # lose VMEM locality, tiny ones drown in halo re-reads.  Deep
+        # levels force large halos (2^L rows), so the candidate range
+        # extends to 3*halo — at levels>=7 a tile of only 2*_BASE_TILE
+        # spends 50% of its rows on halo (the r3 artifact's "L7 cliff":
+        # 10.3 -> 12.7 GPix/s measured at th=384 on ikonos L7).  The
+        # VMEM guard drops candidates whose plane working set cannot
+        # fit (~16 MB of Mosaic scoped VMEM; th=768 at L8 fails to
+        # compile without it).
         best, th = None, halo
-        for cand in range(halo, max(2 * _BASE_TILE, halo) + 1, halo):
+        for cand in range(halo, max(2 * _BASE_TILE, 3 * halo) + 1, halo):
+            if (cand + halo) * wp * 8 > 16_000_000:
+                continue
             hp_c = cdiv(hp, cand) * cand
             cost = (hp_c - hp) + hp_c * halo / cand + abs(cand - _BASE_TILE) / 8
             if best is None or cost < best:

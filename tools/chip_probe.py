@@ -654,6 +654,136 @@ def cmd_sbvar2():
     return 0
 
 
+def cmd_rollvar():
+    """jnp.roll vs pltpu.roll in the kernel's shift helpers.
+
+    jnp.roll inside a Mosaic kernel may lower to slice+concat (a lane
+    relayout) instead of the single hardware rotate pltpu.roll emits;
+    the shifts run on every level's lattice so the difference is
+    ~per-pixel.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    print("device:", jax.devices()[0])
+    x = _batch()
+    ql = quantize_fn(QuantizationLevel.LOSSLESS)
+    floor = 2 * int(np.prod(x.shape))
+
+    orig_lane, orig_sub = pc._shift_lane, pc._shift_sub
+
+    def roll_lane(p):
+        r = pltpu.roll(p, p.shape[-1] - 1, p.ndim - 1)
+        m = pc._cached(
+            ("ledge", p.shape),
+            lambda: pc._iota(p.shape, p.ndim - 1) < p.shape[-1] - 1,
+        )
+        return jnp.where(m, r, 0)
+
+    def roll_sub(p):
+        r = pltpu.roll(p, p.shape[-2] - 1, p.ndim - 2)
+        m = pc._cached(
+            ("sedge", p.shape),
+            lambda: pc._iota(p.shape, p.ndim - 2) < p.shape[-2] - 1,
+        )
+        return jnp.where(m, r, 0)
+
+    def run(tag):
+        # fresh jit cache per variant (the jitted _encode_batch caches by
+        # static args only, so clear it to force a re-trace)
+        pc._encode_batch._clear_cache()
+        step = lambda v: pc.encode_plane_pallas(
+            v, L, ql, "crossed", want_recon=False)[0]
+        # correctness spot check
+        g = np.asarray(pc.encode_plane_pallas(x[:1], L, ql, "crossed")[0])
+        from rustyhgi_tpu.oracle import oracle_encode
+        ok = np.array_equal(g[0], oracle_encode(np.asarray(x[0]), L,
+                                                QuantizationLevel.LOSSLESS))
+        t = device_seconds_per_call(step, x, k_lo=8, k_hi=104,
+                                    floor_bytes=floor)
+        pix = int(np.prod(x.shape))
+        print(f"{tag:16s} {t * 1e6:8.1f} us  {pix / t / 1e9:6.1f} GPix/s  "
+              f"bits {'OK' if ok else 'FAIL'}", flush=True)
+
+    run("jnp.roll")
+    pc._shift_lane, pc._shift_sub = roll_lane, roll_sub
+    try:
+        run("pltpu.roll")
+    finally:
+        pc._shift_lane, pc._shift_sub = orig_lane, orig_sub
+        pc._encode_batch._clear_cache()
+    return 0
+
+
+def cmd_vpucal():
+    """Measured VPU int32 op rate on the kernel's own data layout.
+
+    A pallas kernel with the production tiling reads the u32 canvas,
+    splits the 16 planes (as the codec does), runs K rounds of a
+    3-op dependent chain (add, shift, xor) on every plane, and packs the
+    result back.  The slope between two K values is pure per-op time:
+    effective ops/s = 3 * dK * pixels / dt.  This calibrates the
+    roofline in docs/ROOFLINE (the codec runs ~11-13 ops/pixel).
+    """
+    from functools import partial
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    print("device:", jax.devices()[0])
+    x = _batch()
+    n, h, w = x.shape
+    pix = int(np.prod(x.shape))
+
+    def build(k_ops):
+        @jax.jit
+        def run(image):
+            hp_t, wp, wc, th, halo, n_tiles = pc._plan(h, w, 4, 1, None)
+            padless = (wp == w) and h < hp_t + halo
+            xw = lax.bitcast_convert_type(image.reshape(n, h, wc, 4), pc._U32)
+
+            def kernel(main_ref, halo_ref, out_ref):
+                t = pl.program_id(1) if n_tiles > 1 else 0
+                xx = jnp.concatenate([main_ref[0], halo_ref[0]], axis=0)
+                pc._CACHE = {}
+                try:
+                    D = pc._bytes16_from_u32(xx, h - t * th)
+                    for ry in range(4):
+                        for rx in range(4):
+                            p = D[ry][rx]
+                            for i in range(k_ops):
+                                p = ((p + (i + 1)) >> 1) ^ p
+                            D[ry][rx] = p & 255
+                    out_ref[0] = pc._pack_u32(D, th // 4)
+                finally:
+                    pc._CACHE = None
+
+            return pl.pallas_call(
+                kernel,
+                grid=(n, n_tiles),
+                in_specs=pc._pair_specs(th, halo, wc),
+                out_specs=pc._out_spec(th, wc),
+                out_shape=jax.ShapeDtypeStruct((n, hp_t, wc), pc._U32),
+            )(xw, xw)
+
+        return run
+
+    times = {}
+    for k_ops in (4, 24):
+        f = build(k_ops)
+        step = lambda v, f=f: lax.bitcast_convert_type(
+            f(v)[..., None], pc._U8).reshape(n, -1, 480 * 4)[:, :h, :w]
+        t = device_seconds_per_call(step, x, k_lo=8, k_hi=40,
+                                    floor_bytes=2 * pix)
+        times[k_ops] = t
+        print(f"k={k_ops:3d}: {t * 1e6:8.1f} us", flush=True)
+    dt = times[24] - times[4]
+    ops = 3 * (24 - 4) * pix
+    print(f"VPU effective: {ops / dt / 1e12:.2f} Tops/s int32 "
+          f"({dt / (24 - 4) / pix * 1e15:.1f} fs per op-pixel... "
+          f"{ops / dt / 1e9:.0f} Gop/s)")
+    return 0
+
+
 def cmd_sweep():
     print("device:", jax.devices()[0])
     x = _batch()
@@ -715,4 +845,6 @@ if __name__ == "__main__":
               "sweep": cmd_sweep, "rans": cmd_rans,
               "engines": cmd_engines, "sbvar": cmd_sbvar,
               "sbvar2": cmd_sbvar2, "sbvar3": cmd_sbvar3,
-              "sbvar4": cmd_sbvar4, "sbvar5": cmd_sbvar5, "kpairs": cmd_kpairs}[cmd]())
+              "sbvar4": cmd_sbvar4, "sbvar5": cmd_sbvar5,
+              "kpairs": cmd_kpairs, "rollvar": cmd_rollvar,
+              "vpucal": cmd_vpucal}[cmd]())
