@@ -313,34 +313,60 @@ def main() -> int:
         f"; subband medium {pallas_rows['encode_subband_medium_mpix_s']:.0f}")
 
     # Subband-direct decode (the .thgi subband archive path): no grid
-    # split — the quads feed the per-level reconstruct directly.
-    import jax as _jax
+    # split — the quads feed the per-level reconstruct directly.  Both
+    # engines (XLA and the repack+grid-decode Pallas path), interleaved
+    # medians like everything else.
     from jax import lax as _lax
 
     enc_sb = jax.jit(lambda x: pyramid.encode_subbands(x, LEVELS, quant))
     anchors, subbands, _ = enc_sb(dbatch)
 
-    def _chained_sb(k):
+    def _chained_sb(body, k):
         @jax.jit
         def f(a, s):
-            def body(i, carry):
-                r = pyramid.decode_subbands(carry, s, (H, W), LEVELS)
+            def it(i, carry):
+                r = body(carry, s)
                 return carry ^ r[..., : carry.shape[-2], : carry.shape[-1]]
 
-            return _lax.fori_loop(0, k, body, a)
+            return _lax.fori_loop(0, k, it, a)
 
         return f
 
-    times = {}
-    for k in (8, 40):
-        f = _chained_sb(k)
-        np.asarray(f(anchors, subbands).ravel()[:1])
-        times[k] = min_time(
-            lambda: np.asarray(f(anchors, subbands).ravel()[:1])
-        )
-    t_dec_sb = (times[40] - times[8]) / 32
-    dec_sb_mpixps = npix_batch / t_dec_sb / 1e6
-    log(f"decode (subband): {t_dec_sb * 1e3:.2f} ms/batch -> {dec_sb_mpixps:.0f} MPix/s")
+    def _sb_slope(body):
+        times = {}
+        for k in (8, 104):
+            f = _chained_sb(body, k)
+            np.asarray(f(anchors, subbands).ravel()[:1])
+            times[k] = min_time(
+                lambda: np.asarray(f(anchors, subbands).ravel()[:1])
+            )
+        return (times[104] - times[8]) / 96
+
+    sb_dec_rows = {
+        "xla": lambda a, s: pyramid.decode_subbands(a, s, (H, W), LEVELS),
+        "pallas": lambda a, s: pallas_codec.decode_subbands_pallas(
+            a, s, (H, W), LEVELS, "crossed"
+        ),
+    }
+    sb_dec_samples = {name: [] for name in sb_dec_rows}
+    for _ in range(ENGINE_ROUNDS):
+        for name, body in sb_dec_rows.items():
+            try:
+                t = _sb_slope(body)
+                sb_dec_samples[name].append(npix_batch / t / 1e6)
+            except Exception as e:
+                log(f"subband decode ({name}) failed: {e}")
+    dec_sb_mpixps = float(np.median(np.asarray(
+        sb_dec_samples["xla"] or [0.0]
+    )))
+    if sb_dec_samples.get("pallas"):
+        pallas_rows["decode_subband_mpix_s"] = float(np.median(np.asarray(
+            sb_dec_samples["pallas"]
+        )))
+        log(f"decode (subband): xla {dec_sb_mpixps:.0f} MPix/s, pallas "
+            f"{pallas_rows['decode_subband_mpix_s']:.0f} MPix/s (medians)")
+    else:
+        log(f"decode (subband): xla {dec_sb_mpixps:.0f} MPix/s (median)")
 
     enc_m_mpixps = _aux_median("xla_encode_grid_medium")
     log(f"encode medium: {enc_m_mpixps:.0f} MPix/s (median)")

@@ -215,14 +215,37 @@ class HGICodec:
         return fn(image)
 
     def decode_subbands(self, anchors, subbands, shape):
-        """Subband layout -> uint8 [H, W] image on device."""
+        """Subband layout -> uint8 [H, W] image on device.
+
+        Under auto on TPU this is the subband-direct Pallas path: a
+        no-halo repack kernel (subband quads -> grid words) feeding the
+        fused grid decode kernel, both in one jit — bit-identical to the
+        XLA decode, which serves outside the kernel envelope.
+        """
         key = ("sb", tuple(shape))  # subband shapes derive from shape+levels
         fn = self._decode_cache.get(key)
         if fn is None:
+            from ..ops.pallas_codec import supported_subbands
+
             levels, pred = self.levels, self._predictor_fn
-            fn = jax.jit(
-                lambda a, s: pyramid.decode_subbands(a, s, shape, levels, pred)
-            )
+            h, w = tuple(shape)[-2:]
+            if self._use_pallas((h, w), need_quantize=False) and (
+                supported_subbands(levels, h, w, None, self.predictor)
+            ):
+                from ..ops.pallas_codec import decode_subbands_pallas
+
+                pred_name = self.predictor
+                fn = jax.jit(
+                    lambda a, s: decode_subbands_pallas(
+                        a, s, shape, levels, pred_name
+                    )
+                )
+            else:
+                fn = jax.jit(
+                    lambda a, s: pyramid.decode_subbands(
+                        a, s, shape, levels, pred
+                    )
+                )
             self._decode_cache[key] = fn
         return fn(anchors, subbands)
 

@@ -54,6 +54,8 @@ __all__ = [
     "encode_plane_pallas",
     "encode_subbands_pallas",
     "decode_plane_pallas",
+    "assemble_grid_pallas",
+    "decode_subbands_pallas",
 ]
 
 _I32 = jnp.int32
@@ -1090,4 +1092,269 @@ def decode_plane_pallas(
     if squeeze:
         grid = grid[None]
     out = _decode_batch(grid, int(levels), predictor, tile_rows)
+    return out[0] if squeeze else out
+
+
+# -- subband-direct decode ---------------------------------------------------
+#
+# Mirrors the encode-side subband EMISSION in reverse: a no-halo,
+# mask-free Pallas kernel repacks the subband quads into row-major grid
+# words (pure layout — the inverse of _encode_sub_tile's packing, all
+# elementwise u16 arithmetic plus the depth>=1 _assemble interleaves the
+# encode kernel uses anyway), and the battle-tested grid decode kernel
+# reconstructs.  This beats a direct halo-tiled subband decoder: the
+# reconstruction halo is 2^(L+1) canvas rows but the coarsest subband
+# input block would force a uniform 8*2^L-row halo (Mosaic's 8-row block
+# floor cascaded through the plane alignment of every interleave), i.e.
+# 25-50% redundant compute per tile — versus one extra HBM round trip of
+# the plane (~2 passes at ~40 us for a 1080p x8 batch) for the repack.
+
+
+_PAIR_SLOTS = (
+    ((0, 1), (0, 3), (2, 1), (2, 3)),  # q01: (2r, 2c+1)
+    ((1, 0), (1, 2), (3, 0), (3, 2)),  # q10: (2r+1, 2c)
+    ((1, 1), (1, 3), (3, 1), (3, 3)),  # q11: (2r+1, 2c+1)
+)
+
+
+def _unsub_gp(anchor, entries, lrem):
+    """4x4 grid-plane list of the top lattice (lrem >= 2) — inverse of
+    :func:`_sub_levels_from_gp` + recursion, no cropping (no-halo tiles
+    are exact)."""
+    (_, pairs_b) = entries[-1]
+    (_, vals_a) = entries[-2]
+    gp = [[None] * 4 for _ in range(4)]
+    gp[0][0] = _unsub_arr(anchor, entries[:-2], lrem - 2)
+    gp[0][2], gp[2][0], gp[2][2] = vals_a
+    for q, slots in zip(pairs_b, _PAIR_SLOTS):
+        m2, n = q.shape
+        st = q.reshape(m2 // 2, 2, n)
+        u0, u2 = st[:, 0, :], st[:, 1, :]
+        for (ry, rx), plane in zip(
+            slots, (u0 & 255, u0 >> 8, u2 & 255, u2 >> 8)
+        ):
+            gp[ry][rx] = plane
+    return gp
+
+
+def _unsub_arr(anchor, entries, lrem):
+    """Grid lattice from (anchor plane, emission entries) — inverse of
+    :func:`_sub_arr`."""
+    if lrem == 0:
+        return anchor
+    if lrem == 1:
+        (_, (g01, g10, g11)) = entries[-1]
+        return _assemble([[anchor, g01], [g10, g11]])
+    return _assemble(_unsub_gp(anchor, entries, lrem))
+
+
+def _unsub_tile(anchor, flat_quads, layout, levels, out_rows):
+    """Tile body of the repack kernel: emission arrays -> grid u32 words.
+
+    levels < 2 never reaches this kernel (the supported() gate routes
+    them to the XLA path), so the top lattice always has a 4x4 plane
+    decomposition and packs straight to u32 words.
+    """
+    global _CACHE
+    _CACHE = {}
+    try:
+        entries = []
+        i = 0
+        for kind, scale, width in layout:
+            entries.append((kind, tuple(
+                flat_quads[i + j].astype(_PT) for j in range(3)
+            )))
+            i += 3
+        gp = _unsub_gp(anchor.astype(_PT), entries, levels)
+        return _pack_u32(gp, out_rows // 4)
+    finally:
+        _CACHE = None
+
+
+def _unsub_plan(hp: int, wp: int, levels: int, tile_rows=None):
+    """No-halo tile plan for the repack kernel: (hp_t, th, n_tiles).
+
+    Tile rows must be a multiple of the 8<<levels quantum (the coarsest
+    input's block rows stay 8-aligned); the cost model only trades
+    padding rows against the ~128-row pipelining sweet spot, with the
+    VMEM guard of the subband kernels.
+    """
+    quantum = 8 << levels
+    if tile_rows is not None:
+        th = cdiv(tile_rows, quantum) * quantum
+    else:
+        best, th = None, quantum
+        for cand in range(quantum, 4 * quantum + 1, quantum):
+            if cand * wp * 8 > 14_000_000:
+                continue
+            hp_c = cdiv(hp, cand) * cand
+            cost = (hp_c - hp) + abs(cand - _BASE_TILE) / 8
+            if best is None or cost < best:
+                best, th = cost, cand
+            if cand >= hp:
+                break
+    hp_t = cdiv(hp, th) * th
+    return hp_t, th, hp_t // th
+
+
+def _repack_words(anchors, flat_quads, levels, h, w, tile_rows):
+    """Repack kernel -> (u32 words [n, hp_t, wc], th).  Traced helper."""
+    n = anchors.shape[0]
+    step = 1 << levels
+    hp = cdiv(h, step) * step
+    wp = cdiv(w, step) * step
+    layout = _sub_layout(levels, wp)
+    hp_t, th, n_tiles = _unsub_plan(hp, wp, levels, tile_rows)
+    wc = wp // 4
+
+    # Convert API quads (uint8, canvas shapes) to the kernel-native u16
+    # emission forms (inverse of _encode_sub_batch's to_bytes) and pad
+    # rows to the tile plan.  Pure elementwise/bitcast XLA, outside the
+    # kernel — exactly mirroring the encode side, where the same
+    # conversions run host-graph-side after the kernel.
+    def to_u16(x, kind, scale):
+        rows = hp_t >> scale
+        if kind == "vals":
+            x = x.astype(jnp.uint16)
+        else:
+            m, k2 = x.shape[-2:]
+            x = lax.bitcast_convert_type(
+                x.reshape(*x.shape[:-2], m, k2 // 2, 2), jnp.uint16
+            )
+        if x.shape[-2] != rows:
+            x = jnp.pad(x, ((0, 0), (0, rows - x.shape[-2]), (0, 0)))
+        return x
+
+    anc16 = to_u16(anchors, "vals", levels)
+    quads16 = []
+    i = 0
+    for kind, scale, width in layout:
+        for j in range(3):
+            quads16.append(to_u16(flat_quads[i + j], kind, scale))
+        i += 3
+
+    def spec(scale, width):
+        return pl.BlockSpec(
+            (1, th >> scale, width), lambda b, t: (b, t, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    in_specs = [spec(levels, wp >> levels)]
+    for kind, scale, width in layout:
+        in_specs += [spec(scale, width)] * 3
+
+    def kernel(anc_ref, *refs):
+        quad_vals = [r[0] for r in refs[:-1]]
+        out_ref = refs[-1]
+        out_ref[0] = _unsub_tile(anc_ref[0], quad_vals, layout, levels, th)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n, n_tiles),
+        in_specs=in_specs,
+        out_specs=_out_spec(th, wc),
+        out_shape=jax.ShapeDtypeStruct((n, hp_t, wc), _U32),
+        interpret=_interpret(),
+    )(anc16, *quads16)
+    return out, th
+
+
+@partial(jax.jit, static_argnames=("levels", "h", "w", "tile_rows"))
+def _assemble_grid_batch(anchors, flat_quads, levels, h, w, tile_rows):
+    out, _ = _repack_words(anchors, flat_quads, levels, h, w, tile_rows)
+    return _from_words(out, h, w)
+
+
+@partial(
+    jax.jit, static_argnames=("levels", "predictor", "h", "w", "tile_rows")
+)
+def _decode_sub_batch(anchors, flat_quads, levels, predictor, h, w, tile_rows):
+    """Fused subband decode: repack words feed the decode kernel directly.
+
+    The intermediate residual grid stays in u32 word form between the
+    two pallas_calls — no uint8 materialization, no crop copy (going
+    through the public assemble/decode pair costs ~150 us of extra HBM
+    round trips per 1080p x8 batch, measured).  The repack's padding
+    rows are exact zeros (inputs are zero-padded), reproducing the
+    zero-canvas contract; the decode kernel's ``valid`` masking covers
+    the rows its last tile reads past the buffer end.
+    """
+    gw, th = _repack_words(anchors, flat_quads, levels, h, w, tile_rows)
+    n = gw.shape[0]
+    hp_t, wp, wc, th_d, halo, n_tiles = _plan(h, w, levels, 2, th)
+    # Same th => same hp_t; the decode halo blocks of the last tile read
+    # past gw's end (unspecified bytes), which `valid` masking squashes —
+    # except in interpret mode, where OOB block reads are errors.
+    if _interpret():
+        gw = jnp.pad(gw, ((0, 0), (0, halo), (0, 0)))
+    tree = _TREES[predictor]
+
+    def kernel(main_ref, halo_ref, out_ref):
+        t = pl.program_id(1) if n_tiles > 1 else 0
+        g = jnp.concatenate([main_ref[0], halo_ref[0]], axis=0)
+        maskf = _Masks(h, w, hp_t + halo, wp, t * th_d)
+        out_ref[0] = _decode_tile(
+            g, levels, tree, maskf, th_d, valid=h - t * th_d,
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n, n_tiles),
+        in_specs=_pair_specs(th_d, halo, wc),
+        out_specs=_out_spec(th_d, wc),
+        out_shape=jax.ShapeDtypeStruct((n, hp_t, wc), _U32),
+        interpret=_interpret(),
+    )(gw, gw)
+    return _from_words(out, h, w)
+
+
+def assemble_grid_pallas(
+    anchors, subbands, shape, levels: int, tile_rows: Optional[int] = None
+):
+    """Pallas counterpart of ops.pyramid.assemble_grid.
+
+    Subband quads (uint8, canvas shapes, coarsest level first — the
+    layout of encode_subbands / the .thgi subband container) -> the
+    row-major residual grid plane, bit-identical to the XLA assemble.
+    One no-halo elementwise kernel; no prediction math.
+    """
+    anchors = jnp.asarray(anchors, _U8)
+    squeeze = anchors.ndim == 2
+    if squeeze:
+        anchors = anchors[None]
+        subbands = [tuple(q[None] for q in quads) for quads in subbands]
+    flat = [jnp.asarray(q, _U8) for quads in subbands for q in quads]
+    h, w = shape
+    out = _assemble_grid_batch(
+        anchors, tuple(flat), effective_levels(int(levels), h, w), h, w,
+        tile_rows,
+    )
+    return out[0] if squeeze else out
+
+
+def decode_subbands_pallas(
+    anchors,
+    subbands,
+    shape,
+    levels: int,
+    predictor: str = "crossed",
+    tile_rows: Optional[int] = None,
+) -> jnp.ndarray:
+    """Subband-direct decode: repack kernel + fused grid decode kernel.
+
+    Bit-identical to ops.pyramid.decode_subbands (decoder parity,
+    reference src/decoder.rs:18-46).  The residual grid exists only as
+    u32 words between the two kernels — see :func:`_decode_sub_batch`.
+    """
+    anchors = jnp.asarray(anchors, _U8)
+    squeeze = anchors.ndim == 2
+    if squeeze:
+        anchors = anchors[None]
+        subbands = [tuple(q[None] for q in quads) for quads in subbands]
+    flat = tuple(jnp.asarray(q, _U8) for quads in subbands for q in quads)
+    h, w = shape
+    out = _decode_sub_batch(
+        anchors, flat, effective_levels(int(levels), h, w), predictor,
+        h, w, tile_rows,
+    )
     return out[0] if squeeze else out

@@ -294,3 +294,76 @@ def test_codec_encode_subbands_pallas_backend_roundtrip():
     _assert_subbands_equal(
         (anchors, subbands, recon), (a2, s2, r2), "codec-route"
     )
+
+
+# -- subband-direct decode (repack kernel + grid decode) ---------------------
+
+
+def _assert_sb_decode(shape, levels, preset, pred, tile_rows=None):
+    from rustyhgi_tpu.ops.pallas_codec import decode_subbands_pallas
+    from rustyhgi_tpu.ops.predictors import predictor_fn
+
+    img = _img(*shape)
+    q = quantize_fn(preset)
+    a, s, _ = pyramid.encode_subbands(img, levels, q, predictor_fn(pred))
+    ref = np.asarray(
+        pyramid.decode_subbands(a, s, shape, levels, predictor_fn(pred))
+    )
+    got = np.asarray(
+        decode_subbands_pallas(a, s, shape, levels, pred, tile_rows=tile_rows)
+    )
+    assert np.array_equal(ref, got), (shape, levels, preset, pred, tile_rows)
+
+
+@pytest.mark.parametrize("shape", [(64, 64), (37, 53), (130, 68)])
+@pytest.mark.parametrize("levels", [2, 3, 4, 5])
+@pytest.mark.parametrize(
+    "preset", [QuantizationLevel.LOSSLESS, QuantizationLevel.MEDIUM]
+)
+def test_subband_decode_matches_xla(shape, levels, preset):
+    if not supported(levels, *shape, None, "crossed"):
+        pytest.skip("outside the fused kernel envelope")
+    _assert_sb_decode(shape, levels, preset, "crossed")
+
+
+@pytest.mark.parametrize("tile_rows", [16, 32])
+def test_subband_decode_multi_tile(tile_rows):
+    _assert_sb_decode((300, 96), 3, QuantizationLevel.HIGH, "crossed",
+                      tile_rows=tile_rows)
+
+
+def test_subband_decode_left_top_and_batch():
+    _assert_sb_decode((96, 64), 4, QuantizationLevel.LOW, "left_top")
+    # batch: leading dim through the same kernel
+    from rustyhgi_tpu.ops.pallas_codec import decode_subbands_pallas
+
+    imgs = np.stack([_img(48, 64) for _ in range(3)])
+    q = quantize_fn(QuantizationLevel.MEDIUM)
+    a, s, _ = pyramid.encode_subbands(imgs, 3, q)
+    ref = np.asarray(pyramid.decode_subbands(a, s, (48, 64), 3))
+    got = np.asarray(decode_subbands_pallas(a, s, (48, 64), 3))
+    assert np.array_equal(ref, got)
+
+
+def test_assemble_grid_pallas_matches_xla():
+    from rustyhgi_tpu.ops.pallas_codec import assemble_grid_pallas
+
+    for shape, levels in [((61, 83), 3), ((128, 96), 4), ((33, 48), 2)]:
+        img = _img(*shape)
+        q = quantize_fn(QuantizationLevel.MEDIUM)
+        a, s, _ = pyramid.encode_subbands(img, levels, q)
+        ref = np.asarray(pyramid.assemble_grid(a, s, shape))
+        got = np.asarray(assemble_grid_pallas(a, s, shape, levels))
+        assert np.array_equal(ref, got), (shape, levels)
+
+
+def test_codec_decode_subbands_routes_pallas(monkeypatch):
+    """HGICodec.decode_subbands picks the kernel when forced on-TPU-like
+    and stays bit-identical; the XLA route is the CPU default."""
+    from rustyhgi_tpu.models.codec import HGICodec
+
+    img = _img(64, 96)
+    c = HGICodec(4, QuantizationLevel.MEDIUM)
+    anchors, subbands, recon = c.encode_subbands(img)
+    dec = c.decode_subbands(anchors, subbands, img.shape)
+    assert np.array_equal(np.asarray(dec), np.asarray(recon))
