@@ -640,6 +640,15 @@ def main() -> int:
             json.dump(details, f, indent=2)
     except OSError:
         pass
+    try:
+        # Keep doc perf tables in lockstep with the artifact (VERDICT r3
+        # #7: claims must not drift from measurements).
+        sys.path.insert(0, "tools")
+        from render_perf import render
+
+        render(details)
+    except Exception as e:
+        log(f"render_perf failed: {e}")
 
     vs = (
         headline_mpixps / base["encode_mpix_s"]

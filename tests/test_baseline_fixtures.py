@@ -48,6 +48,16 @@ def test_baseline_config_rederives(name):
     thgi = write_archive(archive, "thgi")
     assert len(hgi) == entry["hgi_bytes"] and sha(hgi) == entry["hgi_sha256"]
     assert len(thgi) == entry["thgi_bytes"] and sha(thgi) == entry["thgi_sha256"]
+    if "fast_thgi_sha256" in entry:
+        # The device entropy format (write_fast: rowmajor layout, rans_tpu
+        # codec — grid + lane-parallel device rANS in one program) is
+        # pinned byte-for-byte too, and must read back to the same grid.
+        fast = codec.write_fast(img)
+        assert len(fast) == entry["fast_thgi_bytes"]
+        assert sha(fast) == entry["fast_thgi_sha256"]
+        from rustyhgi_tpu.utils.container import read_thgi
+
+        assert np.array_equal(read_thgi(fast).grid, np.asarray(grid))
 
     decoded = np.asarray(recon)
     assert sha(decoded.tobytes()) == entry["decoded_sha256"]

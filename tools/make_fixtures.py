@@ -13,7 +13,17 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+# The axon sitecustomize overrides jax_platforms in config; the env var
+# alone does not stick — force CPU (fixtures must never touch the chip).
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".cache", "jax",
+))
 
 import numpy as np
 
@@ -54,6 +64,7 @@ def main():
         archive = Archive(codec.metadata_for(*img.shape), grid)
         hgi = write_archive(archive, "hgi")
         thgi = write_archive(archive, "thgi")
+        fast = codec.write_fast(img)  # rowmajor + device-rANS (rans_tpu)
         err = int(np.abs(img.astype(np.int16) - decoded.astype(np.int16)).max())
         bound = linear_error(codec.quantization)
         assert err <= bound, (name, err, bound)
@@ -67,6 +78,8 @@ def main():
             "hgi_bytes": len(hgi),
             "thgi_sha256": sha(thgi),
             "thgi_bytes": len(thgi),
+            "fast_thgi_sha256": sha(fast),
+            "fast_thgi_bytes": len(fast),
             "decoded_sha256": sha(decoded.tobytes()),
             "max_abs_error": err,
             "error_bound": bound,
@@ -78,7 +91,7 @@ def main():
                 f.write(thgi)
         manifest[name] = entry
         print(f"{name}: hgi {len(hgi)} B, thgi {len(thgi)} B, "
-              f"max|err| {err} <= {bound}")
+              f"fast {len(fast)} B, max|err| {err} <= {bound}")
     with open(os.path.join(OUT, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)
         f.write("\n")
