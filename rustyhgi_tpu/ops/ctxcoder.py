@@ -353,6 +353,28 @@ def ctx_mt_chunks(total_bytes: int) -> int:
     return max(1, min(_CTX_MT_MAX_CHUNKS, k))
 
 
+_CTX_POOL = None
+
+
+def _ctx_pool():
+    """Shared persistent thread pool for the chunk-parallel coders.
+
+    A per-call ThreadPoolExecutor spawns fresh threads whose thread-local
+    native output buffers (ops.native._out_buffer) must be re-allocated
+    and page-faulted in every call — measured 1.41x vs the 1.90x speedup
+    the same 2-core host reaches with warm threads.  Workers idle at zero
+    cost between calls.
+    """
+    global _CTX_POOL
+    if _CTX_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _CTX_POOL = ThreadPoolExecutor(
+            max_workers=8, thread_name_prefix="ctxmt"
+        )
+    return _CTX_POOL
+
+
 def split_pieces(
     pieces: Sequence[Tuple[int, int, int]], k: int
 ) -> List[Tuple[int, List[Tuple[int, int, int]]]]:
@@ -411,7 +433,6 @@ def ctx_encode_mt(
 ) -> bytes:
     """Chunk-parallel context encode (see module framing notes)."""
     import struct
-    from concurrent.futures import ThreadPoolExecutor
 
     if k is None:
         k = ctx_mt_chunks(len(payload))
@@ -425,8 +446,7 @@ def ctx_encode_mt(
 
     jobs = [(lo, sub, size) for (lo, sub), size in zip(spans, sizes)]
     if len(jobs) > 1:
-        with ThreadPoolExecutor(max_workers=min(8, len(jobs))) as pool:
-            chunks = list(pool.map(job, jobs))
+        chunks = list(_ctx_pool().map(job, jobs))
     else:
         chunks = [job(jobs[0])]
     head = struct.pack("<B", k) + b"".join(
@@ -447,7 +467,6 @@ def ctx_decode_mt(
     that many bytes (progressive preview) — the result may be longer.
     """
     import struct
-    from concurrent.futures import ThreadPoolExecutor
 
     if len(data) < 1:
         raise ValueError("truncated ctx_mt stream")
@@ -478,8 +497,7 @@ def ctx_decode_mt(
         return ctx_decode(blob, sub, adapt_shift)
 
     if len(todo) > 1:
-        with ThreadPoolExecutor(max_workers=min(8, len(todo))) as pool:
-            parts = list(pool.map(job, todo))
+        parts = list(_ctx_pool().map(job, todo))
     else:
         parts = [job(todo[0])] if todo else []
     return b"".join(parts)

@@ -849,29 +849,18 @@ def _sub_plan(h, w, levels, halo_mult, tile_rows):
     Mosaic requires output block rows divisible by 8 (or the full array);
     the coarsest output's block rows are ``th >> levels``, so ``th`` must
     be a multiple of ``8 << levels`` (a multiple of every halo this
-    kernel uses).  The tile height is chosen by _plan's own cost model
-    over quantum multiples — NOT by rounding _plan's preferred height up,
-    which at levels=4 landed on 256 and measured ~17% slower than 128 on
-    v5e (redundant padding rows dominate).  When the quantum exceeds the
-    canvas, _plan clamps and the plan degenerates to one tile —
-    full-array blocks, constraint-free.
+    kernel uses).  The tile height is the quantum itself: measured on
+    v5e at 1080p x8 lossless, th=128 runs 333 us vs 465/459 us at
+    th=256/384 — the 13-output kernel's VMEM working set loses pipelining
+    long before the generic cost model's padding/halo terms notice, so
+    no cost model: smallest legal tile wins (the halo is a fixed
+    fraction of the quantum regardless).
     """
     quantum = 8 << levels
     if tile_rows is not None:
         rounded = cdiv(tile_rows, quantum) * quantum
         return _plan(h, w, levels, halo_mult, rounded)
-    step = 1 << levels
-    hp = cdiv(h, step) * step
-    halo = max(halo_mult * step, 8)
-    best, bth = None, quantum
-    for cand in range(quantum, max(4 * quantum, 2 * _BASE_TILE) + 1, quantum):
-        hp_c = cdiv(hp, cand) * cand
-        cost = (hp_c - hp) + hp_c * halo / cand + abs(cand - _BASE_TILE) / 8
-        if best is None or cost < best:
-            best, bth = cost, cand
-        if cand >= hp:  # one-tile plan; larger cands only add padding
-            break
-    return _plan(h, w, levels, halo_mult, bth)
+    return _plan(h, w, levels, halo_mult, quantum)
 
 
 def supported_subbands(levels: int, h: int, w: int, quantize, predictor) -> bool:

@@ -123,6 +123,17 @@ class Archive:
                 f"{(self.metadata.height, self.metadata.width)}"
             )
 
+    def print(self, file=None) -> None:
+        """Debug dump of the residual grid (reference grid.rs:29-33).
+
+        Same output convention as ``Grid::print``: every byte in
+        row-major order, space-separated, no trailing newline.
+        """
+        import sys
+
+        out = sys.stdout if file is None else file
+        out.write(" ".join(map(str, self.grid.reshape(-1))) + " ")
+
 
 def _deflate_one(payload: bytes, strategy: int) -> bytes:
     co = zlib.compressobj(9, zlib.DEFLATED, -15, 9, strategy)

@@ -269,3 +269,22 @@ def test_thgit2_header_stores_table_once():
     tile, w, h, blocks, got = parse_thgit(blob)
     assert blocks == [] and np.array_equal(got, freqs)
     assert len(blob) == 21 + 512
+
+
+def test_archive_print_debug_dump(capsys):
+    """Grid::print parity (reference grid.rs:29-33): every byte in
+    row-major order, space-separated, trailing space."""
+    import io
+
+    from rustyhgi_tpu.utils.container import Archive, Metadata
+    from rustyhgi_tpu.ops.quantizers import QuantizationLevel
+
+    grid = np.arange(6, dtype=np.uint8).reshape(2, 3)
+    arch = Archive(
+        Metadata(QuantizationLevel.LOSSLESS, 0, 3, 2, 1), grid
+    )
+    buf = io.StringIO()
+    arch.print(buf)
+    assert buf.getvalue() == "0 1 2 3 4 5 "
+    arch.print()
+    assert capsys.readouterr().out == "0 1 2 3 4 5 "
