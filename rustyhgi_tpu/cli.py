@@ -354,6 +354,24 @@ def cmd_encode_tiled(args) -> int:
             mode = "ab"
             print(f"resuming at block {start}/{n_tiles}", file=_sys.stderr)
 
+    codec = HGICodec(args.level, quant, predictor=args.predictor)
+    if getattr(args, "fast", False) and args.format == "thgi" and not shared:
+        # Fused fast tier for the gigapixel path: each chunk of tiles is
+        # ONE device program (Pallas encode + lane-parallel device rANS,
+        # models.codec.write_fast_batch) and only entropy-coded bytes
+        # cross the link; every block is byte-identical to write_fast on
+        # that tile, so --resume and decode-tiled compose unchanged.
+        remaining = tiles[start:]
+        with open(args.output, mode) as f:
+            if mode == "wb":
+                f.write(thgit2_header(args.tile, w, h, n_tiles, None))
+            chunk = 32
+            for lo in range(0, remaining.shape[0], chunk):
+                for b in codec.write_fast_batch(remaining[lo : lo + chunk]):
+                    f.write(thgit2_block_frame(b))
+                    f.flush()  # valid resumable prefix at every block
+        return 0
+
     mesh = make_mesh(mesh_shape)
     remaining = tiles[start:]
     padded, _ = pad_batch(remaining, mesh.devices.size)
@@ -381,7 +399,6 @@ def cmd_encode_tiled(args) -> int:
             np.bincount(grids_host.reshape(-1), minlength=256)
         )
 
-    codec = HGICodec(args.level, quant, predictor=args.predictor)
     with open(args.output, mode) as f:
         if mode == "wb":
             f.write(thgit2_header(args.tile, w, h, n_tiles, freqs))

@@ -214,3 +214,35 @@ def test_export_serialized_roundtrip():
     g2, r2 = c.encode_plane(img)
     assert np.array_equal(np.asarray(g), np.asarray(g2))
     assert np.array_equal(np.asarray(dec(np.asarray(g))), np.asarray(r2))
+
+
+def test_encode_tiled_fast_roundtrips(tmp_path):
+    """encode-tiled --fast: fused device-coded blocks; decode-tiled and
+    --resume compose unchanged (blocks == write_fast per tile)."""
+    import numpy as np
+    from PIL import Image
+
+    from rustyhgi_tpu.cli import main
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (70, 90), dtype=np.uint8)
+    src = tmp_path / "in.png"
+    Image.fromarray(img, mode="L").save(src)
+    out = tmp_path / "t.thgit"
+    assert main([
+        "encode-tiled", "-i", str(src), "-o", str(out), "--tile", "32",
+        "-l", "3", "-q", "medium", "--format", "thgi", "--fast",
+    ]) == 0
+    back = tmp_path / "back.png"
+    assert main(["decode-tiled", "-i", str(out), "-o", str(back)]) == 0
+    dec = np.asarray(Image.open(back))
+    assert np.abs(img.astype(int) - dec.astype(int)).max() <= 20
+    # Every block is the rans_tpu fast codec, byte-identical to write_fast.
+    from rustyhgi_tpu.models.codec import HGICodec
+    from rustyhgi_tpu.parallel.sharded import tile_plane
+    from rustyhgi_tpu.utils.container import parse_thgit
+
+    tile, width, height, blocks, freqs = parse_thgit(out.read_bytes())
+    tiles, _ = tile_plane(img, (32, 32))
+    codec = HGICodec(3, "medium")
+    assert blocks[0] == codec.write_fast(tiles[0])
