@@ -211,7 +211,7 @@ def main() -> int:
         return _sb_reduce(x, pallas_codec.encode_subbands_pallas(
             x, LEVELS, quant, "crossed", want_recon=False))
 
-    ENGINE_ROUNDS = 3
+    ENGINE_ROUNDS = 5
     engine_rows = [
         ("xla_subband", enc_step, 2),
         ("xla_grid", enc_grid_step, 3),
@@ -223,7 +223,7 @@ def main() -> int:
         for name, step, floor_mult in engine_rows:
             try:
                 t = device_seconds_per_call(
-                    step, dbatch, k_lo=8, k_hi=232,
+                    step, dbatch, k_lo=8, k_hi=104,
                     floor_bytes=floor_mult * npix_batch,
                 )
                 engine_samples[name].append(npix_batch / t / 1e6)
@@ -611,7 +611,7 @@ def main() -> int:
         "config": {
             "w": W, "h": H, "batch": BATCH, "levels": LEVELS,
             "methodology": (
-                "chained fori_loop slope (K=8 vs 232 engines, 8 vs 104 aux); "
+                "chained fori_loop slope (K=8 vs 104); "
                 f"rows = median of {ENGINE_ROUNDS} interleaved rounds"
             ),
         },

@@ -714,6 +714,54 @@ def cmd_rollvar():
     return 0
 
 
+def cmd_sharded():
+    """Drive the distributed tier on the real chip (1-device mesh).
+
+    Validates that encode_batch_sharded/decode_batch_sharded route
+    through the fused Pallas kernel on TPU (sharded._use_pallas_engine)
+    with oracle-exact bytes, and measures the sharded-path throughput
+    vs the direct kernel call.
+    """
+    from rustyhgi_tpu.parallel.mesh import make_mesh
+    from rustyhgi_tpu.parallel import sharded
+
+    print("device:", jax.devices()[0])
+    mesh = make_mesh((1, 1), jax.devices()[:1])
+    q = QuantizationLevel.LOSSLESS
+    ql = quantize_fn(q)
+    imgs = RNG.integers(0, 256, (N, H, W), np.uint8)
+    assert sharded._use_pallas_engine(L, H, W, ql, "crossed"), (
+        "sharded tier did not choose the Pallas engine on TPU"
+    )
+    grids, recons, hist = sharded.encode_batch_sharded(
+        imgs, L, q, mesh=mesh, with_histogram=True
+    )
+    g0 = oracle_encode(imgs[0], L, q)
+    ok = np.array_equal(np.asarray(grids)[0], g0)
+    dec = sharded.decode_batch_sharded(np.asarray(grids), L, mesh=mesh)
+    d_ok = np.array_equal(np.asarray(dec), imgs)
+    print(f"sharded(pallas) bytes vs oracle: {'OK' if ok else 'FAIL'}; "
+          f"decode roundtrip: {'OK' if d_ok else 'FAIL'}; "
+          f"hist sum {int(np.asarray(hist).sum())} == {imgs.size}")
+
+    x = jnp.asarray(imgs)
+    pix = imgs.size
+
+    def direct(v):
+        return pc.encode_plane_pallas(v, L, ql, "crossed", want_recon=False)[0]
+
+    t = device_seconds_per_call(direct, x, k_lo=8, k_hi=104,
+                                floor_bytes=2 * pix)
+    print(f"direct kernel:  {pix / t / 1e9:6.1f} GPix/s")
+    t0 = time.perf_counter()
+    for _ in range(5):
+        g, r, _ = sharded.encode_batch_sharded(imgs, L, q, mesh=mesh)
+        np.asarray(g).ravel()[:1]
+    t = (time.perf_counter() - t0) / 5
+    print(f"sharded e2e (incl. H2D/dispatch): {pix / t / 1e6:6.0f} MPix/s")
+    return 0
+
+
 def cmd_vpucal():
     """Measured VPU int32 op rate on the kernel's own data layout.
 
@@ -847,4 +895,4 @@ if __name__ == "__main__":
               "sbvar2": cmd_sbvar2, "sbvar3": cmd_sbvar3,
               "sbvar4": cmd_sbvar4, "sbvar5": cmd_sbvar5,
               "kpairs": cmd_kpairs, "rollvar": cmd_rollvar,
-              "vpucal": cmd_vpucal}[cmd]())
+              "vpucal": cmd_vpucal, "sharded": cmd_sharded}[cmd]())
