@@ -269,33 +269,6 @@ class HGICodec:
 
         return _grid
 
-    def _fast_fn(self, shape: Tuple[int, int], guess: int):
-        """Fused encode+entropy program returning (prefix, full buffer).
-
-        The prefix slice lives INSIDE the jit: it is a materialized
-        executable output, so the host fetch is a pure D2H transfer.
-        Slicing outside the jit (the round-3 design) dispatched a second
-        program per call — one extra ~25 ms round trip on the tunnelled
-        link, enough to lose to the host-entropy path in BENCH_r03.
-        ``guess`` is static (32-row buckets; at most a couple of
-        executables per shape since the cached row estimate stabilizes).
-        """
-        from ..ops.tpurans import encode_device_packed, lanes_for, meta_rows_for
-
-        key = ("fast", shape, guess)
-        fn = self._encode_cache.get(key)
-        if fn is None:
-            _grid = self._grid_only_fn(shape)
-            meta = meta_rows_for(lanes_for(shape[0] * shape[1]))
-
-            def run(img):
-                out = encode_device_packed(_grid(img).reshape(-1))
-                return out[: meta + guess], out
-
-            fn = jax.jit(run)
-            self._encode_cache[key] = fn
-        return fn
-
     def write_fast(self, image) -> bytes:
         """Fastest encode-to-archive: one fused device program.
 
@@ -312,25 +285,13 @@ class HGICodec:
         .thgi (rowmajor layout, rans_tpu codec) — byte-identical to
         ``write_thgi(archive, fast=True)`` on the same backend.
         """
-        from ..ops.tpurans import (
-            MAX_SYMBOLS,
-            finalize_stream,
-            lanes_for,
-            meta_rows_for,
-            unpack_meta,
-        )
-        from ..utils.container import (
-            _CODEC_RANS_TPU,
-            _LAYOUT_ROWMAJOR,
-            _thgi_frame,
-        )
+        from ..ops.tpurans import MAX_SYMBOLS
 
         image = jnp.asarray(image, dtype=jnp.uint8)
         if image.ndim != 2:
             raise ValueError(f"expected [H, W], got {image.shape}")
         h, w = image.shape
-        n = h * w
-        if n > MAX_SYMBOLS:
+        if h * w > MAX_SYMBOLS:
             # Beyond the device coder's exact-histogram envelope
             # (gigapixel planes belong to the tiled path anyway): full
             # writer, host entropy stage.
@@ -341,31 +302,7 @@ class HGICodec:
                 Archive(self.metadata_for(h, w), np.asarray(grid)),
                 layouts=("rowmajor",),
             )
-        L = lanes_for(n)
-        meta = meta_rows_for(L)
-        T = -(-n // L)
-        est = self._encode_cache.get(("fast_rows",) + tuple(image.shape), T)
-        guess = min(T, -(-est // 32) * 32)
-        head, out = self._fast_fn(tuple(image.shape), guess)(image)
-        head_np = np.asarray(head)
-        freq_np, counts_np, states_np = unpack_meta(head_np[:meta], L)
-        rows = min(T, -(-int(counts_np.sum()) // L))  # rows holding words
-        if rows <= guess:
-            stream_np = head_np[meta:]
-        else:
-            kb = min(T, -(-rows // 32) * 32)
-            tail = np.asarray(out[meta + guess : meta + kb])
-            stream_np = np.concatenate([head_np[meta:], tail], axis=0)
-        # Next call for this shape fetches ~15% headroom over this image
-        # (the word TOTAL is far steadier across images than any per-lane
-        # maximum — it is the coded size itself).
-        self._encode_cache[("fast_rows",) + tuple(image.shape)] = rows + max(
-            rows // 8, 2
-        )
-        payload = finalize_stream(n, freq_np, counts_np, states_np, stream_np)
-        return _thgi_frame(
-            self.metadata_for(h, w), _LAYOUT_ROWMAJOR, _CODEC_RANS_TPU, n, payload
-        )
+        return self.write_fast_batch(image[None])[0]
 
     def write_fast_batch(self, images) -> list:
         """Batched :meth:`write_fast`: [B, H, W] -> list of .thgi blobs.

@@ -156,6 +156,11 @@ def encode_batch_sharded(
                 mesh=mesh,
                 in_specs=(spec,),
                 out_specs=(spec, spec, P()),
+                # pallas_call emits ShapeDtypeStructs without vma
+                # annotations; the varying-mesh-axes checker rejects them
+                # inside shard_map (caught by tools/chip_probe.py sharded
+                # on real hardware).  The out_specs still pin the layout.
+                check_vma=not use_pallas,
             )
         )
         _cache_put(key, fn)
@@ -198,7 +203,8 @@ def decode_batch_sharded(
 
         fn = jax.jit(
             jax.shard_map(
-                local_decode, mesh=mesh, in_specs=(spec,), out_specs=spec
+                local_decode, mesh=mesh, in_specs=(spec,), out_specs=spec,
+                check_vma=not use_pallas,  # see encode note
             )
         )
         _cache_put(key, fn)
