@@ -7,10 +7,16 @@ The ONLY scripts that may touch the real TPU are bench.py and this one
              emission + the padless ragged-height path
   bench      kernel throughput rows (grid/subband x lossless/medium,
              decode), chained-slope methodology
+  engines    interleaved repeat sampling of every complete-encode engine
+             (median + spread; the bench.py methodology standalone)
+  kpairs     slope spread vs K-span (tunnel jitter diagnosis)
   sweep      tile_rows sweep of the lossless grid encode
+  rollvar    jnp.roll vs pltpu.roll in the kernel shift helpers
+  vpucal     measured VPU int32 op rate (roofline calibration)
+  sharded    drive the distributed tier on the chip (Pallas routing)
   rans       device rANS stage MB/s + write_fast vs host-rANS e2e
 
-Usage: python tools/chip_probe.py [validate|bench|sweep|rans] ...
+Usage: python tools/chip_probe.py [validate|bench|...] ...
 """
 
 import sys
@@ -202,455 +208,6 @@ def cmd_kpairs():
                   " ".join(f"{q:6.1f}" for q in vals) +
                   f"  | med {med:6.1f} spread "
                   f"{(v.max() - v.min()) / med * 100:5.1f}%", flush=True)
-    return 0
-
-
-def cmd_sbvar3():
-    """Cost of the bench-side reduction vs the kernel itself.
-
-    full-sum:    production step — jnp.sum over every output array
-    scalar-touch: carry xors one element of every output (the pallas_call
-                 is opaque: touching any output keeps the whole kernel;
-                 touching all of them is belt-and-braces vs DCE)
-    """
-    print("device:", jax.devices()[0])
-    x = _batch()
-    ql = quantize_fn(QuantizationLevel.LOSSLESS)
-    floor = 2 * int(np.prod(x.shape))
-
-    def full_sum(v):
-        a, s, _ = pc.encode_subbands_pallas(v, L, ql, "crossed",
-                                            want_recon=False)
-        acc = jnp.sum(a, dtype=jnp.int32)
-        for quads in s:
-            for q in quads:
-                acc = acc + jnp.sum(q, dtype=jnp.int32)
-        return v ^ (acc & 255).astype(jnp.uint8)
-
-    def scalar_touch(v):
-        a, s, _ = pc.encode_subbands_pallas(v, L, ql, "crossed",
-                                            want_recon=False)
-        acc = a[0, 0, 0].astype(jnp.int32)
-        for quads in s:
-            for q in quads:
-                acc = acc + q[0, 0, 0].astype(jnp.int32)
-        return v ^ (acc & 255).astype(jnp.uint8)
-
-    def grid_row(v):
-        return pc.encode_plane_pallas(v, L, ql, "crossed",
-                                      want_recon=False)[0]
-
-    for name, step in (("full-sum", full_sum),
-                       ("scalar-touch", scalar_touch),
-                       ("grid kernel", grid_row)):
-        t = device_seconds_per_call(step, x, k_lo=8, k_hi=104,
-                                    floor_bytes=floor)
-        pix = int(np.prod(x.shape))
-        print(f"{name:16s} {t * 1e6:8.1f} us  {pix / t / 1e9:6.1f} GPix/s",
-              flush=True)
-    return 0
-
-
-def cmd_sbvar4():
-    """Bisect: core recursion vs emission math vs output count.
-
-    core+grid:  sub=True recursion, but the only output is _pack_u32(gp)
-                (grid layout) — isolates the recursion cost.
-    grouped2:   full emission math, but all 13 arrays sublane-stacked
-                into 2 outputs (480-wide and 120-wide) — isolates the
-                13-output DMA pipeline cost.
-    """
-    from functools import partial
-
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    print("device:", jax.devices()[0])
-    x = _batch()
-    ql = quantize_fn(QuantizationLevel.LOSSLESS)
-    floor = 2 * int(np.prod(x.shape))
-    n, h, w = x.shape
-    levels = L
-
-    def build(mode):
-        @partial(jax.jit, static_argnames=())
-        def run(image):
-            lv = levels
-            hp_t, wp, wc, th, halo, n_tiles = pc._sub_plan(h, w, lv, 1, None)
-            padless = (wp == w) and h < hp_t + halo and not pc._interpret()
-            if padless:
-                xw = lax.bitcast_convert_type(
-                    image.reshape(n, h, wc, 4), pc._U32)
-            else:
-                xw = pc._to_words(image, hp_t + halo, wp)
-            tree = pc._TREES["crossed"]
-
-            def tile_core(xx, valid):
-                pc._CACHE = {}
-                try:
-                    D = pc._bytes16_from_u32(xx, valid)
-                    gp, rp, (anc, levels_sub) = pc._encode_core(
-                        D, lv, None, tree, pc._NO_MASK, 1, 1, sub=True
-                    )
-                    return gp, anc, levels_sub
-                finally:
-                    pc._CACHE = None
-
-            if mode == "core":
-                def kernel(main_ref, halo_ref, out_ref):
-                    t = pl.program_id(1) if n_tiles > 1 else 0
-                    xx = jnp.concatenate([main_ref[0], halo_ref[0]], axis=0)
-                    gp, anc, levels_sub = tile_core(
-                        xx, (h - t * th) if padless else None)
-                    # keep the deep-level emission alive via scalars; fill
-                    # the (unassembled) coarse slot with a same-shaped plane
-                    extra = anc[0, 0]
-                    for kind, quads in levels_sub:
-                        for q in quads:
-                            extra = extra + q[0, 0]
-                    gp[0][0] = gp[0][2] + (extra & 1)
-                    out_ref[0] = pc._pack_u32(gp, th // 4)
-
-                out = pl.pallas_call(
-                    kernel,
-                    grid=(n, n_tiles),
-                    in_specs=pc._pair_specs(th, halo, wc),
-                    out_specs=pc._out_spec(th, wc),
-                    out_shape=jax.ShapeDtypeStruct((n, hp_t, wc), pc._U32),
-                    interpret=pc._interpret(),
-                )(xw, xw)
-                by = lax.bitcast_convert_type(
-                    out[..., None], pc._U8).reshape(n, hp_t, wc * 4)
-                return image ^ by[:, :h, :w]
-
-            # grouped2: full emission, 2 stacked outputs
-            layout = pc._sub_layout(lv, wp)
-
-            def kernel2(main_ref, halo_ref, wide_ref, narrow_ref):
-                t = pl.program_id(1) if n_tiles > 1 else 0
-                xx = jnp.concatenate([main_ref[0], halo_ref[0]], axis=0)
-                outs, _ = pc._encode_sub_tile(
-                    xx, lv, None, tree, pc._NO_MASK, th, False,
-                    valid=(h - t * th) if padless else None,
-                )
-                wide = [o for o in outs if o.shape[-1] >= 256]
-                narrow = [o for o in outs if o.shape[-1] < 256]
-                wide_ref[0] = jnp.concatenate(wide, axis=0)
-                narrow_ref[0] = jnp.concatenate(narrow, axis=0)
-
-            wide_rows = sum((th >> s) for k, s, wd in layout if wd >= 256
-                            for _ in range(3))
-            narrow_rows = (th >> lv) + sum(
-                (th >> s) for k, s, wd in layout if wd < 256 for _ in range(3))
-            wide_w = max((wd for _, _, wd in layout if wd >= 256), default=0)
-            narrow_w = wp >> lv
-            out_shapes = [
-                jax.ShapeDtypeStruct(
-                    (n, (hp_t // th) * wide_rows, wide_w), jnp.uint16),
-                jax.ShapeDtypeStruct(
-                    (n, (hp_t // th) * narrow_rows, narrow_w), jnp.uint16),
-            ]
-            out_specs = [
-                pl.BlockSpec((1, wide_rows, wide_w), lambda b, t: (b, t, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, narrow_rows, narrow_w),
-                             lambda b, t: (b, t, 0),
-                             memory_space=pltpu.VMEM),
-            ]
-            res = pl.pallas_call(
-                kernel2,
-                grid=(n, n_tiles),
-                in_specs=pc._pair_specs(th, halo, wc),
-                out_specs=out_specs,
-                out_shape=out_shapes,
-                interpret=pc._interpret(),
-            )(xw, xw)
-            acc = (res[0][0, 0, 0].astype(jnp.int32)
-                   + res[1][0, 0, 0].astype(jnp.int32))
-            return image ^ (acc & 255).astype(jnp.uint8)
-
-        return run
-
-    rows = [
-        ("core+grid-out", build("core")),
-        ("grouped2", build("grouped2")),
-        ("production sb", None),
-        ("grid kernel", lambda v: pc.encode_plane_pallas(
-            v, L, ql, "crossed", want_recon=False)[0]),
-    ]
-
-    def prod_sb(v):
-        a, s, _ = pc.encode_subbands_pallas(v, L, ql, "crossed",
-                                            want_recon=False)
-        acc = a[0, 0, 0].astype(jnp.int32)
-        for quads in s:
-            for q in quads:
-                acc = acc + q[0, 0, 0].astype(jnp.int32)
-        return v ^ (acc & 255).astype(jnp.uint8)
-
-    rows[2] = ("production sb", prod_sb)
-    for name, step in rows:
-        t = device_seconds_per_call(step, x, k_lo=8, k_hi=104,
-                                    floor_bytes=floor)
-        pix = int(np.prod(x.shape))
-        print(f"{name:16s} {t * 1e6:8.1f} us  {pix / t / 1e9:6.1f} GPix/s",
-              flush=True)
-    return 0
-
-
-def cmd_sbvar5():
-    """Equalized harness: how much do the xor-carry epilogue and the
-    th=256 subband tile plan cost the GRID kernel?"""
-    print("device:", jax.devices()[0])
-    x = _batch()
-    ql = quantize_fn(QuantizationLevel.LOSSLESS)
-    floor = 2 * int(np.prod(x.shape))
-
-    def grid_plain(v):
-        return pc.encode_plane_pallas(v, L, ql, "crossed",
-                                      want_recon=False)[0]
-
-    def grid_xor(v):
-        g = pc.encode_plane_pallas(v, L, ql, "crossed", want_recon=False)[0]
-        return v ^ (g[0, 0, 0] & jnp.uint8(255))
-
-    def grid_xor_256(v):
-        g = pc.encode_plane_pallas(v, L, ql, "crossed", want_recon=False,
-                                   tile_rows=256)[0]
-        return v ^ (g[0, 0, 0] & jnp.uint8(255))
-
-    def grid_256(v):
-        return pc.encode_plane_pallas(v, L, ql, "crossed",
-                                      want_recon=False, tile_rows=256)[0]
-
-    for name, step in (("grid plain (th=224)", grid_plain),
-                       ("grid th=256", grid_256),
-                       ("grid +xor (th=224)", grid_xor),
-                       ("grid +xor th=256", grid_xor_256)):
-        t = device_seconds_per_call(step, x, k_lo=8, k_hi=104,
-                                    floor_bytes=floor)
-        pix = int(np.prod(x.shape))
-        print(f"{name:22s} {t * 1e6:8.1f} us  {pix / t / 1e9:6.1f} GPix/s",
-              flush=True)
-    return 0
-
-
-def cmd_sbvar():
-    """Locate the subband kernel's deficit vs the grid kernel.
-
-    Variants write different output subsets (folding skipped outputs into
-    a scalar that perturbs a kept output, so the codec math cannot be
-    dead-code-eliminated): full = production kernel; fine = only the 6
-    finest-depth outputs (widths >= 128 lanes); finest = only the 3
-    finest pairs quads.  If fine ~= grid speed, the 7 narrow coarse
-    outputs are the cost; if fine ~= full, the emission math is.
-    """
-    from functools import partial
-
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    print("device:", jax.devices()[0])
-    x = _batch()
-    ql = quantize_fn(QuantizationLevel.LOSSLESS)
-    floor = 2 * int(np.prod(x.shape))
-    n, h, w = x.shape
-    levels = L
-
-    def build(keep_from):
-        """Subband kernel writing only outs[keep_from:] (plus fold term)."""
-
-        @partial(jax.jit, static_argnames=())
-        def run(image):
-            lv = levels
-            hp_t, wp, wc, th, halo, n_tiles = pc._sub_plan(h, w, lv, 1, None)
-            padless = (wp == w) and h < hp_t + halo and not pc._interpret()
-            if padless:
-                xw = lax.bitcast_convert_type(
-                    image.reshape(n, h, wc, 4), pc._U32)
-            else:
-                xw = pc._to_words(image, hp_t + halo, wp)
-            tree = pc._TREES["crossed"]
-            layout = pc._sub_layout(lv, wp)
-
-            def kernel(main_ref, halo_ref, *out_refs):
-                t = pl.program_id(1) if n_tiles > 1 else 0
-                xx = jnp.concatenate([main_ref[0], halo_ref[0]], axis=0)
-                outs, _ = pc._encode_sub_tile(
-                    xx, lv, None, tree, pc._NO_MASK, th, False,
-                    valid=(h - t * th) if padless else None,
-                )
-                acc = jnp.int32(0)
-                for o in outs[:keep_from]:
-                    acc = acc + jnp.sum(o.astype(jnp.int32))
-                kept = outs[keep_from:]
-                kept[0] = kept[0] + (acc & 1).astype(jnp.uint16)
-                for ref, val in zip(out_refs, kept):
-                    ref[0] = val
-
-            def spec(scale, width):
-                return (
-                    jax.ShapeDtypeStruct((n, hp_t >> scale, width), jnp.uint16),
-                    pl.BlockSpec((1, th >> scale, width),
-                                 lambda b, t: (b, t, 0),
-                                 memory_space=pltpu.VMEM),
-                )
-
-            shapes_specs = [spec(lv, wp >> lv)]
-            for kind, scale, width in layout:
-                shapes_specs += [spec(scale, width)] * 3
-            shapes_specs = shapes_specs[keep_from:]
-            results = pl.pallas_call(
-                kernel,
-                grid=(n, n_tiles),
-                in_specs=pc._pair_specs(th, halo, wc),
-                out_specs=[s for _, s in shapes_specs],
-                out_shape=[s for s, _ in shapes_specs],
-                interpret=pc._interpret(),
-            )(xw, xw)
-            acc = jnp.int32(0)
-            for r in results:
-                acc = acc + jnp.sum(r.astype(jnp.int32))
-            return image ^ (acc & 255).astype(jnp.uint8)
-
-        return run
-
-    rows = [
-        ("full (keep all 13)", build(0)),
-        ("fine (keep last 6)", build(7)),
-        ("finest (keep last 3)", build(10)),
-        ("grid kernel", lambda v: pc.encode_plane_pallas(
-            v, L, ql, "crossed", want_recon=False)[0]),
-    ]
-    for name, step in rows:
-        t = device_seconds_per_call(step, x, floor_bytes=floor)
-        pix = int(np.prod(x.shape))
-        print(f"{name:24s} {t * 1e6:8.1f} us  {pix / t / 1e9:6.1f} GPix/s",
-              flush=True)
-    return 0
-
-
-def cmd_sbvar2():
-    """Isolate the subband kernel's per-op costs.
-
-    v_u16:   production tile body (u16 outputs; narrowing astype in-kernel)
-    v_i32:   same outputs kept i32 (no narrowing relayout; 2x HBM write)
-    v_plane: i32 + pairs emitted as separate row-parity planes (no
-             sublane-interleave stack/reshape in-kernel)
-    """
-    from functools import partial
-
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    print("device:", jax.devices()[0])
-    x = _batch()
-    floor = 2 * int(np.prod(x.shape))
-    n, h, w = x.shape
-    levels = L
-
-    def build(mode):
-        @partial(jax.jit, static_argnames=())
-        def run(image):
-            lv = levels
-            hp_t, wp, wc, th, halo, n_tiles = pc._sub_plan(h, w, lv, 1, None)
-            padless = (wp == w) and h < hp_t + halo and not pc._interpret()
-            if padless:
-                xw = lax.bitcast_convert_type(
-                    image.reshape(n, h, wc, 4), pc._U32)
-            else:
-                xw = pc._to_words(image, hp_t + halo, wp)
-            tree = pc._TREES["crossed"]
-            layout = pc._sub_layout(lv, wp)
-            odt = jnp.uint16 if mode == "u16" else jnp.int32
-
-            def tile_outs(xx, valid):
-                pc._CACHE = {}
-                try:
-                    D = pc._bytes16_from_u32(xx, valid)
-                    gp, rp, (anc, levels_sub) = pc._encode_core(
-                        D, lv, None, tree, pc._NO_MASK, 1, 1, sub=True
-                    )
-                    level_a, level_b = pc._sub_levels_from_gp(gp)
-                    entries = levels_sub + [level_a, level_b]
-                    if mode == "plane":
-                        # rebuild entries w/o _pair: emit parity planes
-                        entries2 = []
-                        gps = [gp]
-                        # reconstruct per-depth gp lists is messy; instead
-                        # emit pairs entries as their two parity halves by
-                        # de-interleaving is also a relayout.  Approximate:
-                        # recompute u0/u2 directly from gp for the FINEST
-                        # depth only (dominant data).
-                        entries2 = entries
-                        entries = entries2
-                    outs = [pc._crop_rows(anc, th >> lv).astype(odt)]
-                    for lvi, (kind, quads) in enumerate(entries):
-                        scale = lv - lvi
-                        for q in quads:
-                            outs.append(
-                                pc._crop_rows(q, th >> scale).astype(odt))
-                    return outs
-                finally:
-                    pc._CACHE = None
-
-            def kernel(main_ref, halo_ref, *out_refs):
-                t = pl.program_id(1) if n_tiles > 1 else 0
-                xx = jnp.concatenate([main_ref[0], halo_ref[0]], axis=0)
-                outs = tile_outs(xx, (h - t * th) if padless else None)
-                for ref, val in zip(out_refs, outs):
-                    ref[0] = val
-
-            def spec(scale, width):
-                return (
-                    jax.ShapeDtypeStruct((n, hp_t >> scale, width), odt),
-                    pl.BlockSpec((1, th >> scale, width),
-                                 lambda b, t: (b, t, 0),
-                                 memory_space=pltpu.VMEM),
-                )
-
-            shapes_specs = [spec(lv, wp >> lv)]
-            for kind, scale, width in layout:
-                shapes_specs += [spec(scale, width)] * 3
-            results = pl.pallas_call(
-                kernel,
-                grid=(n, n_tiles),
-                in_specs=pc._pair_specs(th, halo, wc),
-                out_specs=[s for _, s in shapes_specs],
-                out_shape=[s for s, _ in shapes_specs],
-                interpret=pc._interpret(),
-            )(xw, xw)
-            acc = jnp.int32(0)
-            for r in results:
-                acc = acc + jnp.sum(r.astype(jnp.int32))
-            return image ^ (acc & 255).astype(jnp.uint8)
-
-        return run
-
-    ql = quantize_fn(QuantizationLevel.LOSSLESS)
-
-    def sb_reduce(v, res):
-        a, s, _ = res
-        acc = jnp.sum(a, dtype=jnp.int32)
-        for quads in s:
-            for q in quads:
-                acc = acc + jnp.sum(q, dtype=jnp.int32)
-        return v ^ (acc & 255).astype(jnp.uint8)
-
-    rows = [
-        ("v_u16 (production-ish)", build("u16")),
-        ("v_i32", build("i32")),
-        ("production e2e", lambda v: sb_reduce(
-            v, pc.encode_subbands_pallas(v, L, ql, "crossed",
-                                         want_recon=False))),
-        ("grid kernel", lambda v: pc.encode_plane_pallas(
-            v, L, ql, "crossed", want_recon=False)[0]),
-    ]
-    for name, step in rows:
-        t = device_seconds_per_call(step, x, floor_bytes=floor)
-        pix = int(np.prod(x.shape))
-        print(f"{name:24s} {t * 1e6:8.1f} us  {pix / t / 1e9:6.1f} GPix/s",
-              flush=True)
     return 0
 
 
@@ -891,8 +448,6 @@ if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "bench"
     sys.exit({"validate": cmd_validate, "bench": cmd_bench,
               "sweep": cmd_sweep, "rans": cmd_rans,
-              "engines": cmd_engines, "sbvar": cmd_sbvar,
-              "sbvar2": cmd_sbvar2, "sbvar3": cmd_sbvar3,
-              "sbvar4": cmd_sbvar4, "sbvar5": cmd_sbvar5,
+              "engines": cmd_engines,
               "kpairs": cmd_kpairs, "rollvar": cmd_rollvar,
               "vpucal": cmd_vpucal, "sharded": cmd_sharded}[cmd]())
