@@ -601,10 +601,16 @@ def main() -> int:
 
     # Headline: the best complete encode to an archivable layout, by
     # MEDIAN of the interleaved rounds (never a single lucky sample).
-    headline_engine = max(
-        engines, key=lambda k: engines[k]["median_mpix_s"]
-    )
-    headline_mpixps = engines[headline_engine]["median_mpix_s"]
+    # An all-engines-failed run (tunnel outage mid-phase) still writes
+    # the details it did measure rather than crashing out.
+    if engines:
+        headline_engine = max(
+            engines, key=lambda k: engines[k]["median_mpix_s"]
+        )
+        headline_mpixps = engines[headline_engine]["median_mpix_s"]
+        headline_spread = engines[headline_engine]["spread_pct"]
+    else:
+        headline_engine, headline_mpixps, headline_spread = "none", 0.0, 0.0
 
     details = {
         "device": str(dev),
@@ -617,7 +623,7 @@ def main() -> int:
         },
         "headline_engine": headline_engine,
         "headline_mpix_s": headline_mpixps,
-        "headline_spread_pct": engines[headline_engine]["spread_pct"],
+        "headline_spread_pct": headline_spread,
         "engines": engines,
         "aux_row_samples": {
             k: [round(float(s), 1) for s in v]
@@ -643,7 +649,12 @@ def main() -> int:
     try:
         # Keep doc perf tables in lockstep with the artifact (VERDICT r3
         # #7: claims must not drift from measurements).
-        sys.path.insert(0, "tools")
+        import os
+
+        sys.path.insert(
+            0,
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"),
+        )
         from render_perf import render
 
         render(details)

@@ -355,7 +355,15 @@ def cmd_encode_tiled(args) -> int:
             print(f"resuming at block {start}/{n_tiles}", file=_sys.stderr)
 
     codec = HGICodec(args.level, quant, predictor=args.predictor)
-    if getattr(args, "fast", False) and args.format == "thgi" and not shared:
+    fast = getattr(args, "fast", False)
+    if fast and (args.format != "thgi" or shared):
+        # Never silently degrade an explicit fast request to the host
+        # entropy path (mirrors the --shared-table format check above).
+        raise ValueError(
+            "--fast requires --format thgi and is incompatible with "
+            "--shared-table (the device coder builds per-tile tables)"
+        )
+    if fast:
         # Fused fast tier for the gigapixel path: each chunk of tiles is
         # ONE device program (Pallas encode + lane-parallel device rANS,
         # models.codec.write_fast_batch) and only entropy-coded bytes

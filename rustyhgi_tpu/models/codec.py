@@ -378,9 +378,19 @@ class HGICodec:
                     n, payload,
                 )
             )
-        self._encode_cache[("fast_rows", h, w)] = max_rows + max(
-            max_rows // 8, 2
-        )
+        # Estimate update is MONOTONIC after the first measurement: the
+        # 32-row guess bucket is baked into the jit key (the prefix slice
+        # must live inside the program to stay one-dispatch), so a
+        # shrinking estimate would re-bucket and recompile the fused
+        # program.  First call (no estimate, guess == T) always
+        # re-buckets once; after that the executable count per shape is
+        # 2 + (times a larger image than any before arrives), and a
+        # sticky-high estimate only costs a slightly larger transfer.
+        est_key = ("fast_rows", h, w)
+        new_est = max_rows + max(max_rows // 8, 2)
+        prev = self._encode_cache.get(est_key)
+        if prev is None or prev >= T or new_est > prev:
+            self._encode_cache[est_key] = new_est
         return blobs
 
     def decode_preview(self, anchors, subbands, shape, upto: int):

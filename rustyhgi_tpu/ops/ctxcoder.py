@@ -44,6 +44,7 @@ from archive metadata so the stream needs no framing.
 
 from __future__ import annotations
 
+import threading
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -354,6 +355,7 @@ def ctx_mt_chunks(total_bytes: int) -> int:
 
 
 _CTX_POOL = None
+_CTX_POOL_LOCK = threading.Lock()
 
 
 def _ctx_pool():
@@ -366,13 +368,14 @@ def _ctx_pool():
     cost between calls.
     """
     global _CTX_POOL
-    if _CTX_POOL is None:
-        from concurrent.futures import ThreadPoolExecutor
+    with _CTX_POOL_LOCK:
+        if _CTX_POOL is None:
+            from concurrent.futures import ThreadPoolExecutor
 
-        _CTX_POOL = ThreadPoolExecutor(
-            max_workers=8, thread_name_prefix="ctxmt"
-        )
-    return _CTX_POOL
+            _CTX_POOL = ThreadPoolExecutor(
+                max_workers=8, thread_name_prefix="ctxmt"
+            )
+        return _CTX_POOL
 
 
 def split_pieces(

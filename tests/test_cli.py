@@ -246,3 +246,24 @@ def test_encode_tiled_fast_roundtrips(tmp_path):
     tiles, _ = tile_plane(img, (32, 32))
     codec = HGICodec(3, "medium")
     assert blocks[0] == codec.write_fast(tiles[0])
+
+
+def test_encode_tiled_fast_flag_validation(tmp_path):
+    """--fast must error loudly with incompatible modes, never silently
+    degrade to the host entropy path."""
+    import numpy as np
+    from PIL import Image
+
+    from rustyhgi_tpu.cli import main
+
+    src = tmp_path / "in.png"
+    Image.fromarray(np.zeros((32, 32), np.uint8), mode="L").save(src)
+    out = tmp_path / "t.thgit"
+    # The CLI error handler prints the message and exits 1 (main.rs:130-133
+    # parity); the output file must not be created.
+    assert main(["encode-tiled", "-i", str(src), "-o", str(out), "--tile",
+                 "32", "--fast"]) == 1  # default --format hgi
+    assert main(["encode-tiled", "-i", str(src), "-o", str(out), "--tile",
+                 "32", "--format", "thgi", "--fast",
+                 "--shared-table"]) == 1
+    assert not out.exists()

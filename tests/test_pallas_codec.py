@@ -357,13 +357,18 @@ def test_assemble_grid_pallas_matches_xla():
         assert np.array_equal(ref, got), (shape, levels)
 
 
-def test_codec_decode_subbands_routes_pallas(monkeypatch):
-    """HGICodec.decode_subbands picks the kernel when forced on-TPU-like
-    and stays bit-identical; the XLA route is the CPU default."""
+def test_codec_decode_subbands_routes_pallas():
+    """HGICodec.decode_subbands takes the Pallas repack+decode route when
+    the backend forces the kernel (interpret mode on CPU) and stays
+    bit-identical to the XLA route (the CPU auto default)."""
     from rustyhgi_tpu.models.codec import HGICodec
 
     img = _img(64, 96)
-    c = HGICodec(4, QuantizationLevel.MEDIUM)
-    anchors, subbands, recon = c.encode_subbands(img)
-    dec = c.decode_subbands(anchors, subbands, img.shape)
-    assert np.array_equal(np.asarray(dec), np.asarray(recon))
+    c_auto = HGICodec(4, QuantizationLevel.MEDIUM)
+    anchors, subbands, recon = c_auto.encode_subbands(img)
+    dec_xla = c_auto.decode_subbands(anchors, subbands, img.shape)
+    assert np.array_equal(np.asarray(dec_xla), np.asarray(recon))
+
+    c_pl = HGICodec(4, QuantizationLevel.MEDIUM, backend="pallas")
+    dec_pl = c_pl.decode_subbands(anchors, subbands, img.shape)
+    assert np.array_equal(np.asarray(dec_pl), np.asarray(recon))
