@@ -364,6 +364,18 @@ def cmd_encode_tiled(args) -> int:
             "--shared-table (the device coder builds per-tile tables)"
         )
     if fast:
+        from .ops.tpurans import MAX_SYMBOLS
+
+        if args.tile * args.tile > MAX_SYMBOLS:
+            # write_fast_batch would silently fall back per-tile to the
+            # host entropy path beyond the device coder's exact-histogram
+            # envelope — the degradation --fast must never hide.
+            raise ValueError(
+                f"--fast tile {args.tile} exceeds the device coder's "
+                f"envelope (tile*tile must be <= {MAX_SYMBOLS}); use a "
+                "smaller --tile or drop --fast"
+            )
+    if fast:
         # Fused fast tier for the gigapixel path: each chunk of tiles is
         # ONE device program (Pallas encode + lane-parallel device rANS,
         # models.codec.write_fast_batch) and only entropy-coded bytes

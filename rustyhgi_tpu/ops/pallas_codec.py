@@ -77,6 +77,17 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _vma(x):
+    """Varying-mesh-axes of ``x``'s aval (empty outside shard_map).
+
+    Every pallas_call out_shape inherits the input's vma so the kernels
+    compose with ``shard_map(check_vma=True)`` — outputs vary over
+    exactly the mesh axes the input does (parallel.sharded routes the
+    production kernel through shard_map; ADVICE r4 #3).
+    """
+    return jax.typeof(x).vma
+
+
 # -- planar helpers (pure jnp; run identically compiled and interpreted) ----
 
 # Per-trace value cache.  Mosaic does not CSE repeated broadcasted_iota /
@@ -801,10 +812,11 @@ def _encode_batch(image, levels, error, predictor, want_recon, tile_rows):
         if emit_recon:
             rest[0][0] = recon
 
-    out_shapes = [jax.ShapeDtypeStruct((n, hp_t, wc), _U32)]
+    vma = _vma(image)
+    out_shapes = [jax.ShapeDtypeStruct((n, hp_t, wc), _U32, vma=vma)]
     out_specs = [_out_spec(th, wc)]
     if emit_recon:
-        out_shapes.append(jax.ShapeDtypeStruct((n, hp_t, wc), _U32))
+        out_shapes.append(jax.ShapeDtypeStruct((n, hp_t, wc), _U32, vma=vma))
         out_specs.append(_out_spec(th, wc))
     results = pl.pallas_call(
         kernel,
@@ -920,9 +932,12 @@ def _encode_sub_batch(image, levels, error, predictor, want_recon, tile_rows):
         for ref, val in zip(out_refs, outs):
             ref[0] = val
 
+    vma = _vma(image)
+
     def spec(scale, width):
         return (
-            jax.ShapeDtypeStruct((n, hp_t >> scale, width), jnp.uint16),
+            jax.ShapeDtypeStruct((n, hp_t >> scale, width), jnp.uint16,
+                                 vma=vma),
             pl.BlockSpec(
                 (1, th >> scale, width), lambda b, t: (b, t, 0),
                 memory_space=pltpu.VMEM,
@@ -939,7 +954,7 @@ def _encode_sub_batch(image, levels, error, predictor, want_recon, tile_rows):
             out_shapes.append(sh)
             out_specs.append(sp)
     if emit_recon:
-        out_shapes.append(jax.ShapeDtypeStruct((n, hp_t, wc), _U32))
+        out_shapes.append(jax.ShapeDtypeStruct((n, hp_t, wc), _U32, vma=vma))
         out_specs.append(_out_spec(th, wc))
     results = pl.pallas_call(
         kernel,
@@ -1000,7 +1015,7 @@ def _decode_batch(grid, levels, predictor, tile_rows):
         grid=(n, n_tiles),
         in_specs=_pair_specs(th, halo, wc),
         out_specs=_out_spec(th, wc),
-        out_shape=jax.ShapeDtypeStruct((n, hp_t, wc), _U32),
+        out_shape=jax.ShapeDtypeStruct((n, hp_t, wc), _U32, vma=_vma(grid)),
         interpret=_interpret(),
     )(gw, gw)
     return _from_words(out, h, w)
@@ -1242,7 +1257,8 @@ def _repack_words(anchors, flat_quads, levels, h, w, tile_rows):
         grid=(n, n_tiles),
         in_specs=in_specs,
         out_specs=_out_spec(th, wc),
-        out_shape=jax.ShapeDtypeStruct((n, hp_t, wc), _U32),
+        out_shape=jax.ShapeDtypeStruct((n, hp_t, wc), _U32,
+                                       vma=_vma(anchors)),
         interpret=_interpret(),
     )(anc16, *quads16)
     return out, th
@@ -1291,7 +1307,7 @@ def _decode_sub_batch(anchors, flat_quads, levels, predictor, h, w, tile_rows):
         grid=(n, n_tiles),
         in_specs=_pair_specs(th_d, halo, wc),
         out_specs=_out_spec(th_d, wc),
-        out_shape=jax.ShapeDtypeStruct((n, hp_t, wc), _U32),
+        out_shape=jax.ShapeDtypeStruct((n, hp_t, wc), _U32, vma=_vma(gw)),
         interpret=_interpret(),
     )(gw, gw)
     return _from_words(out, h, w)

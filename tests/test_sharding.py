@@ -54,6 +54,32 @@ def test_sharded_encode_mesh_shape_invariance(batch, golden, shape):
     assert np.array_equal(np.asarray(hist), want)
 
 
+@pytest.mark.parametrize("shape", [(8, 1), (4, 2)])
+def test_sharded_pallas_engine_multi_device(batch, golden, shape):
+    """The fused Pallas kernel INSIDE shard_map on a >1-device mesh.
+
+    On TPU meshes the sharded tier routes the production Pallas engine,
+    but the real chip is a 1-device mesh — so without this test the
+    kernel x multi-device-mesh combination would never execute anywhere
+    (VERDICT r4 #3/#4).  force_pallas runs the kernel in interpret mode
+    over the 8-virtual-device mesh; bytes must equal the XLA route's
+    (mesh-shape- and engine-invariance in one assertion).
+    """
+    mesh = make_mesh(shape)
+    grids, recons, hist = encode_batch_sharded(
+        batch, 3, QuantizationLevel.MEDIUM, mesh=mesh, with_histogram=True,
+        force_pallas=True,
+    )
+    assert np.array_equal(np.asarray(grids), golden[0])
+    assert np.array_equal(np.asarray(recons), golden[1])
+    want = np.bincount(golden[0].reshape(-1), minlength=256)
+    assert np.array_equal(np.asarray(hist), want)
+    decoded = decode_batch_sharded(
+        golden[0], 3, mesh=mesh, force_pallas=True
+    )
+    assert np.array_equal(np.asarray(decoded), golden[1])
+
+
 def test_sharded_decode_roundtrip(batch, golden):
     mesh = make_mesh((4, 2))
     decoded = decode_batch_sharded(golden[0], 3, mesh=mesh)

@@ -170,6 +170,106 @@ def test_write_fast_batch_matches_per_plane(rng):
     assert codec.write_fast_batch(imgs[:0]) == []
 
 
+def test_write_fast_batch_tail_fetch_on_busy_after_quiet(rng):
+    """An under-estimated prefix must trigger the tail fetch, not corrupt.
+
+    write_fast_batch sizes its single prefix transfer from a cached
+    per-shape row estimate.  A quiet (highly compressible) image drives
+    the estimate down; a busy (incompressible) image afterwards needs
+    more stream rows than the guess — the path that fetches the missing
+    tail in a second transfer (models/codec.py write_fast_batch) must
+    produce bytes identical to a fresh codec's (whose first-call guess
+    covers the whole buffer).  VERDICT r4 #7.
+    """
+    import jax.numpy as jnp
+
+    from rustyhgi_tpu.models.codec import HGICodec
+    from rustyhgi_tpu.ops import tpurans
+    from rustyhgi_tpu.utils.container import read_thgi
+
+    h, w = 200, 256  # big enough that busy rows exceed the 32-row bucket
+    quiet = np.zeros((h, w), np.uint8)
+    busy = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    codec = HGICodec(3, "lossless")
+    codec.write_fast(quiet)
+    codec.write_fast(quiet)  # settle the estimate on the quiet content
+    n = h * w
+    L = tpurans.lanes_for(n)
+    T = -(-n // L)
+    est = codec._encode_cache[("fast_rows", h, w)]
+    guess = min(T, -(-est // 32) * 32)
+    # Precondition: the busy image really needs more rows than the guess
+    # (otherwise this test would silently not exercise the tail path).
+    grid = np.asarray(codec.encode_plane(busy)[0]).reshape(-1)
+    _, counts, _, _ = tpurans.encode_device(jnp.asarray(grid))
+    rows = min(T, -(-int(np.asarray(counts).sum()) // L))
+    assert rows > guess, (rows, guess)
+    blob = codec.write_fast(busy)
+    fresh = HGICodec(3, "lossless").write_fast(busy)
+    assert blob == fresh
+    assert np.array_equal(read_thgi(blob).grid, grid.reshape(h, w))
+    # The estimator must have learned the busier content (monotonic up).
+    assert codec._encode_cache[("fast_rows", h, w)] > est
+
+
+def test_write_fast_batch_mixed_content_byte_identity(rng):
+    """Every blob of a mixed batch == per-plane write_fast, byte for byte.
+
+    Mixed content maximizes per-plane row-count disagreement inside one
+    batch (shared guess, different tails) — the guess must never leak
+    into the emitted bytes.  VERDICT r4 #7.
+    """
+    from rustyhgi_tpu.models.codec import HGICodec
+
+    h, w = 48, 56
+    quiet = np.zeros((h, w), np.uint8)
+    grad = ((np.arange(h)[:, None] * np.arange(w)[None, :]) & 0xFF).astype(
+        np.uint8
+    )
+    busy = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    batch = np.stack([quiet, busy, grad, busy])
+    codec = HGICodec(4, "medium")
+    codec.write_fast_batch(batch)  # first call: estimate cold
+    blobs = codec.write_fast_batch(batch)  # second: estimated guess live
+    for i, blob in enumerate(blobs):
+        assert blob == HGICodec(4, "medium").write_fast(batch[i]), i
+
+
+def test_write_fast_batch_recompile_bound(rng):
+    """Per shape, the fused program recompiles at most 2 + growth times.
+
+    The 32-row guess bucket is baked into the jit key; the claimed bound
+    (models/codec.py) is: first call re-buckets once (no estimate), then
+    the key is stable until a strictly busier batch raises the bucket.
+    VERDICT r4 #7.
+    """
+    from rustyhgi_tpu.models.codec import HGICodec
+
+    h, w = 40, 48
+    quiet = np.zeros((4, h, w), np.uint8)
+    busy = rng.integers(0, 256, (4, h, w), dtype=np.uint8)
+    codec = HGICodec(3, "lossless")
+
+    def fastb_keys():
+        return {
+            k for k in codec._encode_cache if isinstance(k, tuple)
+            and k and k[0] == "fastb"
+        }
+
+    for _ in range(4):
+        codec.write_fast_batch(quiet)
+    assert len(fastb_keys()) <= 2  # cold key + estimated key
+    before = fastb_keys()
+    for _ in range(3):
+        codec.write_fast_batch(busy)  # busier: bucket may grow ONCE
+    assert len(fastb_keys() - before) <= 1
+    after = fastb_keys()
+    for _ in range(3):
+        codec.write_fast_batch(quiet)  # estimate is sticky-high: no churn
+        codec.write_fast_batch(busy)
+    assert fastb_keys() == after
+
+
 def test_write_fast_preview_falls_back_to_full_decode(rng):
     from rustyhgi_tpu.models.codec import HGICodec
     from rustyhgi_tpu.utils.container import read_preview

@@ -73,10 +73,22 @@ def cmd_validate():
             for qs1, qs2 in zip(s1, s2)
             for x, y in zip(qs1, qs2)
         )
+        # Subband-direct decode on COMPILED Mosaic: the production route
+        # HGICodec.decode_subbands auto-picks on TPU.  Its last tile's
+        # decode-halo block reads past the repacked buffer end on
+        # hardware (interpret mode pads instead), so this is the one
+        # branch the CPU test matrix cannot reach (ADVICE r4 #1).
+        if pred == "crossed" and pc.supported_subbands(levels, h, w, q, pred):
+            dsb = pc.decode_subbands_pallas(a1, s1, (h, w), levels, pred)
+            ref = pyramid.decode_subbands(a1, s1, (h, w), levels)
+            ds_ok = np.array_equal(np.asarray(dsb), np.asarray(ref))
+        else:
+            ds_ok = True
         print(f"{h}x{w} l{levels} {preset.name} {pred}: "
               f"grid={'OK' if g_ok else 'FAIL'} decode={'OK' if d_ok else 'FAIL'} "
-              f"subband={'OK' if s_ok else 'FAIL'}")
-        ok &= g_ok and d_ok and s_ok
+              f"subband={'OK' if s_ok else 'FAIL'} "
+              f"sb-decode={'OK' if ds_ok else 'FAIL'}")
+        ok &= g_ok and d_ok and s_ok and ds_ok
     return 0 if ok else 1
 
 
