@@ -31,6 +31,8 @@ from .mesh import DATA_AXIS, TILE_AXIS, make_mesh
 __all__ = [
     "encode_batch_sharded",
     "decode_batch_sharded",
+    "encode_subbands_batch_sharded",
+    "decode_subbands_batch_sharded",
     "tile_plane",
     "untile_plane",
     "sharded_histogram",
@@ -236,6 +238,136 @@ def decode_batch_sharded(
         _cache_put(key, fn)
     grids = jax.device_put(grids, NamedSharding(mesh, spec))
     return fn(grids)
+
+
+def _use_pallas_subbands(levels, h, w, quant, predictor, force=False) -> bool:
+    """Subband analogue of :func:`_use_pallas_engine` (extra VMEM gate)."""
+    from ..ops import pallas_codec
+
+    if not force and jax.default_backend() != "tpu":
+        return False
+    return pallas_codec.supported_subbands(levels, h, w, quant, predictor)
+
+
+def encode_subbands_batch_sharded(
+    images,
+    levels: int,
+    quantization: QuantizationLevel,
+    mesh: Optional[Mesh] = None,
+    predictor: str = "crossed",
+    force_pallas: bool = False,
+):
+    """Subband-layout encode of a [B, H, W] batch sharded over the mesh.
+
+    Returns ``(anchors, subbands)`` with a leading batch dim on every
+    array — the archivable .thgi subband payload, produced without the
+    row-major grid interleave (the fastest complete encode, see
+    ops.pyramid.encode_subbands).  Like :func:`encode_batch_sharded`,
+    bytes are mesh-shape- and engine-invariant.
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    images = jnp.asarray(images, jnp.uint8)
+    spec = _batch_pspec()
+    key = (
+        "encsb", _mesh_key(mesh), images.shape,
+        levels, int(quantization), predictor, force_pallas,
+    )
+    fn = _SHARD_CACHE.get(key)
+    if fn is None:
+        from ..ops.predictors import predictor_fn
+
+        quant = quantize_fn(quantization)
+        pred = predictor_fn(predictor)
+        h, w = images.shape[-2:]
+        use_pallas = _use_pallas_subbands(
+            levels, h, w, quant, predictor, force=force_pallas
+        )
+
+        def local(imgs):
+            if use_pallas:
+                from ..ops import pallas_codec
+
+                anchors, subbands, _ = pallas_codec.encode_subbands_pallas(
+                    imgs, levels, quant, predictor, want_recon=False
+                )
+            else:
+                anchors, subbands, _ = jax.vmap(
+                    lambda im: pyramid.encode_subbands(
+                        im, levels, quant, pred, want_recon=False
+                    )
+                )(imgs)
+            return anchors, [tuple(q) for q in subbands]
+
+        fn = jax.jit(
+            jax.shard_map(
+                local, mesh=mesh, in_specs=(spec,), out_specs=spec,
+                check_vma=_check_vma(use_pallas),
+            )
+        )
+        _cache_put(key, fn)
+    images = jax.device_put(images, NamedSharding(mesh, spec))
+    return fn(images)
+
+
+def decode_subbands_batch_sharded(
+    anchors,
+    subbands,
+    shape: Tuple[int, int],
+    levels: int,
+    mesh: Optional[Mesh] = None,
+    predictor: str = "crossed",
+    force_pallas: bool = False,
+):
+    """Subband-direct decode of a sharded batch: -> [B, H, W] planes.
+
+    On TPU meshes this routes the subband-direct Pallas path (repack
+    kernel + fused grid decode, ops.pallas_codec.decode_subbands_pallas)
+    per device shard; the XLA engine serves elsewhere.
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    anchors = jnp.asarray(anchors, jnp.uint8)
+    subbands = [tuple(jnp.asarray(q, jnp.uint8) for q in qs) for qs in subbands]
+    spec = _batch_pspec()
+    key = (
+        "decsb", _mesh_key(mesh), anchors.shape, tuple(shape),
+        levels, predictor, force_pallas,
+    )
+    fn = _SHARD_CACHE.get(key)
+    if fn is None:
+        from ..ops.predictors import predictor_fn
+
+        pred = predictor_fn(predictor)
+        h, w = tuple(shape)[-2:]
+        use_pallas = _use_pallas_subbands(
+            levels, h, w, None, predictor, force=force_pallas
+        )
+
+        def local(a, s):
+            if use_pallas:
+                from ..ops import pallas_codec
+
+                return pallas_codec.decode_subbands_pallas(
+                    a, s, (h, w), levels, predictor
+                )
+            return jax.vmap(
+                lambda a1, s1: pyramid.decode_subbands(
+                    a1, s1, (h, w), levels, pred
+                )
+            )(a, s)
+
+        fn = jax.jit(
+            jax.shard_map(
+                local, mesh=mesh, in_specs=(spec, spec), out_specs=spec,
+                check_vma=_check_vma(use_pallas),
+            )
+        )
+        _cache_put(key, fn)
+    put = lambda x: jax.device_put(x, NamedSharding(mesh, spec))
+    anchors = put(anchors)
+    subbands = jax.tree.map(put, subbands)
+    return fn(anchors, subbands)
 
 
 def sharded_histogram(grids, mesh: Optional[Mesh] = None) -> jax.Array:

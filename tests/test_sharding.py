@@ -80,6 +80,45 @@ def test_sharded_pallas_engine_multi_device(batch, golden, shape):
     assert np.array_equal(np.asarray(decoded), golden[1])
 
 
+@pytest.mark.parametrize("shape", [(8, 1), (4, 2)])
+@pytest.mark.parametrize("force_pallas", [False, True])
+def test_sharded_subband_encode_decode(batch, shape, force_pallas):
+    """Sharded subband encode -> subband-direct decode, engine-invariant.
+
+    The .thgi subband payload produced on a mesh must match the
+    single-device XLA payload byte-for-byte for every (mesh shape,
+    engine) combination, and the subband-direct decode must reconstruct
+    the closed-loop recon (VERDICT r4 #6 multi-device surface).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from rustyhgi_tpu.ops import pyramid
+    from rustyhgi_tpu.ops.quantizers import quantize_fn
+    from rustyhgi_tpu.parallel.sharded import (
+        decode_subbands_batch_sharded,
+        encode_subbands_batch_sharded,
+    )
+
+    q = quantize_fn(QuantizationLevel.MEDIUM)
+    ga, gs, grecon = jax.vmap(
+        lambda im: pyramid.encode_subbands(im, 3, q)
+    )(jnp.asarray(batch))
+    mesh = make_mesh(shape)
+    a, s = encode_subbands_batch_sharded(
+        batch, 3, QuantizationLevel.MEDIUM, mesh=mesh,
+        force_pallas=force_pallas,
+    )
+    assert np.array_equal(np.asarray(a), np.asarray(ga))
+    for qs1, qs2 in zip(s, gs):
+        for x, y in zip(qs1, qs2):
+            assert np.array_equal(np.asarray(x), np.asarray(y))
+    dec = decode_subbands_batch_sharded(
+        a, s, batch.shape[1:], 3, mesh=mesh, force_pallas=force_pallas
+    )
+    assert np.array_equal(np.asarray(dec), np.asarray(grecon))
+
+
 def test_sharded_decode_roundtrip(batch, golden):
     mesh = make_mesh((4, 2))
     decoded = decode_batch_sharded(golden[0], 3, mesh=mesh)
