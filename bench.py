@@ -211,7 +211,10 @@ def main() -> int:
         return _sb_reduce(x, pallas_codec.encode_subbands_pallas(
             x, LEVELS, quant, "crossed", want_recon=False))
 
-    ENGINE_ROUNDS = 5
+    # 7 interleaved rounds (r4 ran 5 and recorded 20.5% headline spread;
+    # rounds are ~1 s of slope time each, so more rounds are the cheap
+    # way to a tighter median — VERDICT r4 #2).
+    ENGINE_ROUNDS = 7
     engine_rows = [
         ("xla_subband", enc_step, 2),
         ("xla_grid", enc_grid_step, 3),
@@ -466,12 +469,15 @@ def main() -> int:
             return _rans_mt_encode(np.asarray(g).tobytes())
 
         # e2e rows are medians of interleaved repeats (VERDICT r3 #2):
-        # both paths ride the same tunnel, so alternating the samples
-        # makes the comparison drift-fair.
+        # all paths ride the same tunnel, so alternating the samples
+        # makes the comparison drift-fair.  The batched row joins the
+        # same interleave (r4 used min_time for it — VERDICT r4 #5).
         e2e_speed()
         fast_blob = codec_m.write_fast(image)  # warm (compile + row est.)
         fast_blob = codec_m.write_fast(image)  # warm the estimated-guess jit
-        ts_rans, ts_fast = [], []
+        codec_m.write_fast_batch(batch)  # warm
+        codec_m.write_fast_batch(batch)
+        ts_rans, ts_fast, ts_fastb = [], [], []
         for _ in range(5):
             t0 = time.perf_counter()
             e2e_speed()
@@ -479,6 +485,9 @@ def main() -> int:
             t0 = time.perf_counter()
             codec_m.write_fast(image)
             ts_fast.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            codec_m.write_fast_batch(batch)
+            ts_fastb.append(time.perf_counter() - t0)
         entropy_speed["e2e_rans_mpix_s"] = W * H / float(np.median(ts_rans)) / 1e6
         log(f"e2e speed path (device encode + threaded rANS): "
             f"{entropy_speed['e2e_rans_mpix_s']:.0f} MPix/s")
@@ -493,18 +502,108 @@ def main() -> int:
             f"{entropy_speed['e2e_fast_mpix_s']:.0f} MPix/s; payload "
             f"{len(fast_blob)} B = "
             f"{entropy_speed['rans_tpu_payload_vs_host_rans']:.3f}x host rANS")
+        entropy_speed["e2e_fast_batch_mpix_s"] = (
+            npix_batch / float(np.median(ts_fastb)) / 1e6
+        )
+        log(f"e2e fast path batched x{BATCH}: "
+            f"{entropy_speed['e2e_fast_batch_mpix_s']:.0f} MPix/s")
 
-        # Batched fast path: one program + one prefix fetch for the whole
-        # [B, H, W] batch (the serving shape).
+        # -- e2e decomposition (VERDICT r4 #5): the tunnel's D2H swings
+        # 2-4x between rounds, so the wall rows above are incomparable
+        # across rounds.  Each row is split into (device compute via the
+        # chained slope, bytes that cross the link, host entropy time),
+        # and a link-NORMALIZED figure is derived at a reference
+        # 100 MB/s link — the round-over-round comparable number.
         try:
-            codec_m.write_fast_batch(batch)  # warm
-            codec_m.write_fast_batch(batch)
-            t = min_time(lambda: codec_m.write_fast_batch(batch), iters=3)
-            entropy_speed["e2e_fast_batch_mpix_s"] = npix_batch / t / 1e6
-            log(f"e2e fast path batched x{BATCH}: "
-                f"{entropy_speed['e2e_fast_batch_mpix_s']:.0f} MPix/s")
+            from rustyhgi_tpu.ops import tpurans as _trd
+
+            REF_LINK = 100e6  # bytes/s
+            decomp = {"link_ref_MBps": 100.0}
+            n_pix = W * H
+            Lw = _trd.lanes_for(n_pix)
+            meta_rows = _trd.meta_rows_for(Lw)
+            T_rows = -(-n_pix // Lw)
+            est = codec_m._encode_cache.get(("fast_rows", H, W), T_rows)
+            guess = min(T_rows, -(-est // 32) * 32)
+            head_bytes = (meta_rows + guess) * Lw * 2  # u16 prefix fetch
+
+            _gridfn = codec_m._grid_only_fn((H, W))
+
+            def _fast_dev_step(v):
+                g = _gridfn(v)
+                out = _trd.encode_device_packed(g.reshape(-1))
+                acc = jnp.sum(
+                    out[: meta_rows + guess].astype(jnp.int32)
+                )
+                return v ^ (acc & 255).astype(jnp.uint8)
+
+            t_dev_fast = device_seconds_per_call(
+                _fast_dev_step, jnp.asarray(image), k_lo=4, k_hi=16,
+                floor_bytes=2 * n_pix,
+            )
+            decomp["e2e_fast"] = {
+                "wall_median_s": float(np.median(ts_fast)),
+                "device_s": t_dev_fast,
+                "link_bytes": head_bytes,
+                "payload_bytes": len(fast_blob),
+                "link_norm_mpix_s": n_pix / (
+                    t_dev_fast + head_bytes / REF_LINK
+                ) / 1e6,
+            }
+
+            def _enc_step(v):
+                g, r = codec_m.encode_plane(v)
+                return g ^ r
+
+            t_dev_enc = device_seconds_per_call(
+                _enc_step, jnp.asarray(image), k_lo=8, k_hi=40,
+                floor_bytes=2 * n_pix,
+            )
+            grid_bytes = np.asarray(codec_m.encode_plane(image)[0]).tobytes()
+            t_host_rans = min_time(
+                lambda: _rans_mt_encode(grid_bytes), iters=3
+            )
+            decomp["e2e_rans"] = {
+                "wall_median_s": float(np.median(ts_rans)),
+                "device_s": t_dev_enc,
+                "host_entropy_s": t_host_rans,
+                "link_bytes": n_pix,  # the uint8 grid crosses D2H
+                "link_norm_mpix_s": n_pix / (
+                    t_dev_enc + t_host_rans + n_pix / REF_LINK
+                ) / 1e6,
+            }
+
+            _gridfn_b = codec_m._grid_only_fn(batch.shape)
+
+            def _fastb_dev_step(v):
+                gs = _gridfn_b(v)
+                outs = jax.vmap(
+                    lambda g: _trd.encode_device_packed(g.reshape(-1))
+                )(gs)
+                acc = jnp.sum(
+                    outs[:, : meta_rows + guess].astype(jnp.int32)
+                )
+                return v ^ (acc & 255).astype(jnp.uint8)
+
+            t_dev_fastb = device_seconds_per_call(
+                _fastb_dev_step, dbatch, k_lo=4, k_hi=16,
+                floor_bytes=2 * npix_batch,
+            )
+            decomp["e2e_fast_batch"] = {
+                "wall_median_s": float(np.median(ts_fastb)),
+                "device_s": t_dev_fastb,
+                "link_bytes": BATCH * head_bytes,
+                "link_norm_mpix_s": npix_batch / (
+                    t_dev_fastb + BATCH * head_bytes / REF_LINK
+                ) / 1e6,
+            }
+            entropy_speed["e2e_decomp"] = decomp
+            log("e2e decomposition (@100 MB/s ref link): " + ", ".join(
+                f"{k} {v['link_norm_mpix_s']:.1f} MPix/s"
+                for k, v in decomp.items() if isinstance(v, dict)
+            ))
         except Exception as e:
-            log(f"batched fast path failed: {e}")
+            log(f"e2e decomposition failed: {e}")
 
         # Device rANS stage alone (chained slope — the on-chip MB/s).
         from rustyhgi_tpu.ops import tpurans as _tr
@@ -579,23 +678,28 @@ def main() -> int:
                     return pyramid.reconstruct_encode(v, lv, quant)
                 engine = "xla"
             sweep_steps[lv] = (stp, engine)
-        # Two interleaved rounds per level: the sweep exists to expose
-        # level-dependent kernel pathologies (r3's "L7 cliff"), which a
-        # single noisy slope cannot distinguish from tunnel drift.
+        # Five interleaved rounds per level with recorded spread
+        # (VERDICT r4 #4): the sweep exists to expose level-dependent
+        # kernel pathologies (r3's "L7 cliff"), which two noisy slopes
+        # could not distinguish from tunnel drift (r4's L7 samples
+        # disagreed 2.3x).
         sweep_samples = {lv: [] for lv in sweep_steps}
-        for _ in range(2):
+        for _ in range(5):
             for lv, (stp, engine) in sweep_steps.items():
                 t = device_seconds_per_call(
                     stp, dik, k_lo=8, k_hi=40, floor_bytes=2 * hi * wi
                 )
                 sweep_samples[lv].append(hi * wi / t / 1e6)
         for lv, (stp, engine) in sweep_steps.items():
-            med = float(np.median(np.asarray(sweep_samples[lv])))
+            v = np.asarray(sweep_samples[lv])
+            med = float(np.median(v))
             level_sweep[str(lv)] = {
                 "mpix_s": med, "engine": engine,
+                "spread_pct": float((v.max() - v.min()) / med * 100.0),
                 "samples": [round(s, 0) for s in sweep_samples[lv]],
             }
-            log(f"level_sweep L{lv} ({engine}): {med:.0f} MPix/s")
+            log(f"level_sweep L{lv} ({engine}): {med:.0f} MPix/s "
+                f"(spread {level_sweep[str(lv)]['spread_pct']:.0f}%)")
     except Exception as e:
         log(f"level sweep failed: {e}")
 

@@ -177,6 +177,77 @@ def cmd_engines():
     return 0
 
 
+def cmd_sbreduce():
+    """Is the subband row's spread/tie the KERNEL or the liveness wrapper?
+
+    The engines row keeps all 13 subband outputs live by summing each
+    into the carry (DCE-proofing).  For the PALLAS engine that is
+    overkill: pallas_call is a single opaque primitive, so consuming ANY
+    element keeps the whole kernel — but the full sums read ~1.2 B/pixel
+    back from HBM as separate XLA reductions.  Compare three liveness
+    wrappers around the same kernel call:
+
+      fullsum   the engines-row wrapper (r4 artifact: 51.1, spread 35%)
+      tap       one scalar element from each output (sound for pallas)
+      anchsum   sum of the anchors only (1/256 of the data)
+    """
+    print("device:", jax.devices()[0])
+    x = _batch()
+    ql = quantize_fn(QuantizationLevel.LOSSLESS)
+    floor = 2 * int(np.prod(x.shape))
+    pix = int(np.prod(x.shape))
+
+    def full(v):
+        a, s, _ = pc.encode_subbands_pallas(v, L, ql, "crossed",
+                                            want_recon=False)
+        acc = jnp.sum(a, dtype=jnp.int32)
+        for quads in s:
+            for q in quads:
+                acc = acc + jnp.sum(q, dtype=jnp.int32)
+        return v ^ (acc & 255).astype(jnp.uint8)
+
+    def tap(v):
+        a, s, _ = pc.encode_subbands_pallas(v, L, ql, "crossed",
+                                            want_recon=False)
+        acc = a[0, 0, 0].astype(jnp.int32)
+        for quads in s:
+            for q in quads:
+                acc = acc + q[0, 0, 0].astype(jnp.int32)
+        return v ^ (acc & 255).astype(jnp.uint8)
+
+    def anchsum(v):
+        a, s, _ = pc.encode_subbands_pallas(v, L, ql, "crossed",
+                                            want_recon=False)
+        acc = jnp.sum(a, dtype=jnp.int32)
+        for quads in s:
+            for q in quads:
+                acc = acc + q[0, 0, 0].astype(jnp.int32)
+        return v ^ (acc & 255).astype(jnp.uint8)
+
+    def grid_ref(v):
+        return pc.encode_plane_pallas(v, L, ql, "crossed",
+                                      want_recon=False)[0]
+
+    rows = [("fullsum", full), ("tap", tap), ("anchsum", anchsum),
+            ("grid(ref)", grid_ref)]
+    rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    samples = {name: [] for name, _ in rows}
+    for r in range(rounds):
+        for name, step in rows:
+            t = device_seconds_per_call(step, x, k_lo=8, k_hi=104,
+                                        floor_bytes=floor)
+            samples[name].append(pix / t / 1e9)
+            print(f"  round {r} {name:10s} {pix / t / 1e9:6.1f} GPix/s",
+                  flush=True)
+    print()
+    for name, vals in samples.items():
+        v = np.asarray(vals)
+        med = np.median(v)
+        print(f"{name:10s} median {med:6.1f}  min {v.min():6.1f}  "
+              f"max {v.max():6.1f}  spread {(v.max() - v.min()) / med * 100:5.1f}%")
+    return 0
+
+
 def cmd_kpairs():
     """Spread of the chained-slope measurement vs K-pair span.
 
@@ -332,30 +403,74 @@ def cmd_sharded():
 
 
 def cmd_vpucal():
-    """Measured VPU int32 op rate on the kernel's own data layout.
+    """VPU op-rate calibration SUITE on the kernel's own data layout.
 
-    A pallas kernel with the production tiling reads the u32 canvas,
-    splits the 16 planes (as the codec does), runs K rounds of a
-    3-op dependent chain (add, shift, xor) on every plane, and packs the
-    result back.  The slope between two K values is pure per-op time:
-    effective ops/s = 3 * dK * pixels / dt.  This calibrates the
-    roofline in docs/ROOFLINE (the codec runs ~11-13 ops/pixel).
+    Round-4's roofline rested on ONE probe (a 3-op dependent chain on
+    the 16 planes) measuring 0.44 int32 Tops/s effective — ~8x below
+    the v5e VPU's nominal elementwise rate — with no cross-check
+    (VERDICT r4 #1).  This suite varies the one probe along every axis
+    that could explain the gap:
+
+      mix3 x16     the r4 probe: add+shr+xor dependent chain, 16
+                   independent plane chains (ILP-rich — the codec's own
+                   shape: its levels interleave 12+ independent quads)
+      mix3 x1dep   SAME op count strung into one 16x-longer dependent
+                   chain on one plane (ILP-free).  If this is much
+                   slower per op, the hardware has issue-width headroom
+                   and the x16 figure already banks it.
+      add / shr / csel   single-op-class chains (x16 planes): which op
+                   class is slow?  The codec mix is ~55% add, ~25%
+                   shift, ~10% compare/select, ~10% bitops.
+      addf32       f32 add chain (x16): are int32 ALUs the limiter?
+      xla mix3     the IDENTICAL mix3 chain on the same int32 planes as
+                   a plain XLA elementwise jit (no Pallas): independent
+                   compiler, same hardware.  Agreement pins the number
+                   on the machine, not on Mosaic scheduling.
+
+    Every row reports effective Tops/s normalized by its per-pixel op
+    count; slopes between k_ops=4 and 24 cancel all fixed costs (load,
+    split, pack, store, dispatch).  Results feed README's ROOFLINE
+    section; the codec runs ~11-13 ops/pixel.
     """
-    from functools import partial
-
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
     print("device:", jax.devices()[0])
     x = _batch()
     n, h, w = x.shape
     pix = int(np.prod(x.shape))
 
-    def build(k_ops):
+    # Per-plane op chains; each returns (new_p, ops_in_chain).
+    def chain_mix3(p, k_ops):
+        for i in range(k_ops):
+            p = ((p + (i + 1)) >> 1) ^ p
+        return p, 3 * k_ops
+
+    def chain_add(p, k_ops):
+        for i in range(3 * k_ops):
+            p = p + (i | 1)
+        return p, 3 * k_ops
+
+    def chain_shr(p, k_ops):
+        for i in range(3 * k_ops):
+            # alternate shifts with one add so the value never pins at 0
+            p = (p >> 1) if i % 3 else (p + 0x5A5A5)
+        return p, 3 * k_ops
+
+    def chain_csel(p, k_ops):
+        for i in range(k_ops):
+            p = jnp.where(p > (i | 1), p + 1, p)  # cmp + add + select
+        return p, 3 * k_ops
+
+    def chain_addf32(p, k_ops):
+        pf = p.astype(jnp.float32)
+        for i in range(3 * k_ops):
+            pf = pf + jnp.float32(i | 1)
+        return pf.astype(pc._PT), 3 * k_ops
+
+    def build(k_ops, chain, planes=16):
         @jax.jit
         def run(image):
             hp_t, wp, wc, th, halo, n_tiles = pc._plan(h, w, 4, 1, None)
-            padless = (wp == w) and h < hp_t + halo
             xw = lax.bitcast_convert_type(image.reshape(n, h, wc, 4), pc._U32)
 
             def kernel(main_ref, halo_ref, out_ref):
@@ -364,12 +479,21 @@ def cmd_vpucal():
                 pc._CACHE = {}
                 try:
                     D = pc._bytes16_from_u32(xx, h - t * th)
-                    for ry in range(4):
-                        for rx in range(4):
-                            p = D[ry][rx]
-                            for i in range(k_ops):
-                                p = ((p + (i + 1)) >> 1) ^ p
-                            D[ry][rx] = p & 255
+                    if planes == 16:
+                        for ry in range(4):
+                            for rx in range(4):
+                                p, _ = chain(D[ry][rx], k_ops)
+                                D[ry][rx] = p & 255
+                    else:
+                        # Same total op count, ONE dependent chain: the
+                        # 16 plane-chains are strung serially through a
+                        # single carry (ILP-free by data dependence).
+                        carry = D[0][0]
+                        for ry in range(4):
+                            for rx in range(4):
+                                carry = carry ^ D[ry][rx]
+                                carry, _ = chain(carry, k_ops)
+                                D[ry][rx] = carry & 255
                     out_ref[0] = pc._pack_u32(D, th // 4)
                 finally:
                     pc._CACHE = None
@@ -384,20 +508,67 @@ def cmd_vpucal():
 
         return run
 
-    times = {}
-    for k_ops in (4, 24):
-        f = build(k_ops)
-        step = lambda v, f=f: lax.bitcast_convert_type(
-            f(v)[..., None], pc._U8).reshape(n, -1, 480 * 4)[:, :h, :w]
-        t = device_seconds_per_call(step, x, k_lo=8, k_hi=40,
-                                    floor_bytes=2 * pix)
-        times[k_ops] = t
-        print(f"k={k_ops:3d}: {t * 1e6:8.1f} us", flush=True)
-    dt = times[24] - times[4]
-    ops = 3 * (24 - 4) * pix
-    print(f"VPU effective: {ops / dt / 1e12:.2f} Tops/s int32 "
-          f"({dt / (24 - 4) / pix * 1e15:.1f} fs per op-pixel... "
-          f"{ops / dt / 1e9:.0f} Gop/s)")
+    K_LO_OPS, K_HI_OPS = 4, 12  # 24 made Mosaic compiles of the big
+    # unrolled chains take minutes each; the slope only needs two points
+
+    def measure(mk_fn, ops_per_pix_per_k):
+        times = {}
+        for k_ops in (K_LO_OPS, K_HI_OPS):
+            f = mk_fn(k_ops)
+            step = lambda v, f=f: lax.bitcast_convert_type(
+                f(v)[..., None], pc._U8).reshape(n, -1, 480 * 4)[:, :h, :w]
+            times[k_ops] = device_seconds_per_call(
+                step, x, k_lo=8, k_hi=40, floor_bytes=2 * pix)
+        dt = times[K_HI_OPS] - times[K_LO_OPS]
+        ops = ops_per_pix_per_k * (K_HI_OPS - K_LO_OPS) * pix
+        return ops / dt, times
+
+    # XLA elementwise control: identical mix3 chain, same shapes/dtype,
+    # no Pallas — an independent compiler's view of the same machine.
+    def xla_build(k_ops):
+        @jax.jit
+        def run(image):
+            xw = lax.bitcast_convert_type(
+                image.reshape(n, h, w // 4, 4), pc._U32)
+            planes = [
+                (xw >> pc._U32(8 * rx)).astype(pc._PT) & 255 for rx in range(4)
+            ]
+            outs = []
+            for p in planes:
+                for i in range(k_ops):
+                    p = ((p + (i + 1)) >> 1) ^ p
+                outs.append(p & 255)
+            w32 = (outs[0].astype(pc._U32)
+                   | (outs[1].astype(pc._U32) << pc._U32(8))
+                   | (outs[2].astype(pc._U32) << pc._U32(16))
+                   | (outs[3].astype(pc._U32) << pc._U32(24)))
+            return lax.bitcast_convert_type(
+                w32[..., None], pc._U8).reshape(n, h, w)
+
+        return run
+
+    rows = [
+        ("mix3x16", lambda k: build(k, chain_mix3), 3),
+        ("dep", lambda k: build(k, chain_mix3, planes=1), 3),
+        ("add", lambda k: build(k, chain_add), 3),
+        ("shift", lambda k: build(k, chain_shr), 3),
+        ("csel", lambda k: build(k, chain_csel), 3),
+        ("f32add", lambda k: build(k, chain_addf32), 3),
+        ("xla", xla_build, 3),
+    ]
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
+    for name, mk, oppk in rows:
+        if only is not None and name not in only:
+            continue
+        try:
+            rate, times = measure(mk, oppk)
+            print(f"{name:10s} {rate / 1e12:6.2f} Tops/s  "
+                  f"(t{K_LO_OPS} {times[K_LO_OPS]*1e6:7.1f} us, "
+                  f"t{K_HI_OPS} {times[K_HI_OPS]*1e6:7.1f} us)",
+                  flush=True)
+        except Exception as e:
+            print(f"{name:10s} FAILED: {str(e).splitlines()[0][:90]}",
+                  flush=True)
     return 0
 
 
@@ -460,6 +631,6 @@ if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "bench"
     sys.exit({"validate": cmd_validate, "bench": cmd_bench,
               "sweep": cmd_sweep, "rans": cmd_rans,
-              "engines": cmd_engines,
+              "engines": cmd_engines, "sbreduce": cmd_sbreduce,
               "kpairs": cmd_kpairs, "rollvar": cmd_rollvar,
               "vpucal": cmd_vpucal, "sharded": cmd_sharded}[cmd]())
