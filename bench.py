@@ -200,7 +200,7 @@ def main() -> int:
     # The Pallas kernel always computes every residual internally
     # (nothing for XLA to dead-code-eliminate); want_recon=False only
     # skips the second output write — honest complete-encode numbers.
-    from rustyhgi_tpu.ops import pallas_codec
+    from rustyhgi_tpu.ops import pallas_codec, planar
 
     def enc_pl_step(x):
         return pallas_codec.encode_plane_pallas(
@@ -209,6 +209,15 @@ def main() -> int:
 
     def enc_pl_sb_step(x):
         return _sb_reduce(x, pallas_codec.encode_subbands_pallas(
+            x, LEVELS, quant, "crossed", want_recon=False))
+
+    def enc_planar_step(x):
+        return planar.encode_plane_planar(
+            x, LEVELS, quant, "crossed", want_recon=False
+        )[0]
+
+    def enc_planar_sb_step(x):
+        return _sb_reduce(x, planar.encode_subbands_planar(
             x, LEVELS, quant, "crossed", want_recon=False))
 
     # 7 interleaved rounds (r4 ran 5 and recorded 20.5% headline spread;
@@ -220,6 +229,8 @@ def main() -> int:
         ("xla_grid", enc_grid_step, 3),
         ("pallas_grid", enc_pl_step, 2),
         ("pallas_subband", enc_pl_sb_step, 2),
+        ("planar_grid", enc_planar_step, 2),
+        ("planar_subband", enc_planar_sb_step, 2),
     ]
     engine_samples = {name: [] for name, _, _ in engine_rows}
     for rnd in range(ENGINE_ROUNDS):
@@ -268,6 +279,9 @@ def main() -> int:
     def dec_pl_step(x):
         return pallas_codec.decode_plane_pallas(x, LEVELS, "crossed")
 
+    def dec_planar_step(x):
+        return planar.decode_plane_planar(x, LEVELS, "crossed")
+
     def enc_pl_m_step(x):
         return pallas_codec.encode_plane_pallas(
             x, LEVELS, quant_m_early, "crossed", want_recon=False
@@ -277,6 +291,11 @@ def main() -> int:
         return _sb_reduce(x, pallas_codec.encode_subbands_pallas(
             x, LEVELS, quant_m_early, "crossed", want_recon=False))
 
+    def enc_planar_m_step(x):
+        return planar.encode_plane_planar(
+            x, LEVELS, quant_m_early, "crossed", want_recon=False
+        )[0]
+
     def enc_step_m(x):
         g, r = pyramid.encode_plane(x, LEVELS, quant_m_early)
         return g ^ r
@@ -284,8 +303,10 @@ def main() -> int:
     aux_rows = [
         ("xla_decode_grid", dec_step, 2),
         ("pallas_decode_grid", dec_pl_step, 2),
+        ("planar_decode_grid", dec_planar_step, 2),
         ("pallas_encode_grid_medium", enc_pl_m_step, 2),
         ("pallas_encode_subband_medium", enc_pl_sb_m_step, 2),
+        ("planar_encode_grid_medium", enc_planar_m_step, 2),
         ("xla_encode_grid_medium", enc_step_m, 3),
     ]
     aux_samples = {name: [] for name, _, _ in aux_rows}
@@ -311,9 +332,16 @@ def main() -> int:
         "pallas_encode_grid_medium")
     pallas_rows["encode_subband_medium_mpix_s"] = _aux_median(
         "pallas_encode_subband_medium")
+    planar_rows = {
+        "decode_grid_mpix_s": _aux_median("planar_decode_grid"),
+        "encode_grid_medium_mpix_s": _aux_median("planar_encode_grid_medium"),
+    }
     log(f"pallas decode (grid): {pallas_rows['decode_grid_mpix_s']:.0f} "
         f"MPix/s; encode medium {pallas_rows['encode_grid_medium_mpix_s']:.0f}"
         f"; subband medium {pallas_rows['encode_subband_medium_mpix_s']:.0f}")
+    log(f"planar decode (grid): {planar_rows['decode_grid_mpix_s']:.0f} "
+        f"MPix/s; encode medium "
+        f"{planar_rows['encode_grid_medium_mpix_s']:.0f}")
 
     # Subband-direct decode (the .thgi subband archive path): no grid
     # split — the quads feed the per-level reconstruct directly.  Both
@@ -350,6 +378,9 @@ def main() -> int:
         "pallas": lambda a, s: pallas_codec.decode_subbands_pallas(
             a, s, (H, W), LEVELS, "crossed"
         ),
+        "planar": lambda a, s: planar.decode_subbands_planar(
+            a, s, (H, W), LEVELS, "crossed"
+        ),
     }
     sb_dec_samples = {name: [] for name in sb_dec_rows}
     for _ in range(ENGINE_ROUNDS):
@@ -366,10 +397,13 @@ def main() -> int:
         pallas_rows["decode_subband_mpix_s"] = float(np.median(np.asarray(
             sb_dec_samples["pallas"]
         )))
-        log(f"decode (subband): xla {dec_sb_mpixps:.0f} MPix/s, pallas "
-            f"{pallas_rows['decode_subband_mpix_s']:.0f} MPix/s (medians)")
-    else:
-        log(f"decode (subband): xla {dec_sb_mpixps:.0f} MPix/s (median)")
+    if sb_dec_samples.get("planar"):
+        planar_rows["decode_subband_mpix_s"] = float(np.median(np.asarray(
+            sb_dec_samples["planar"]
+        )))
+    log(f"decode (subband): xla {dec_sb_mpixps:.0f}, pallas "
+        f"{pallas_rows.get('decode_subband_mpix_s', 0):.0f}, planar "
+        f"{planar_rows.get('decode_subband_mpix_s', 0):.0f} MPix/s (medians)")
 
     enc_m_mpixps = _aux_median("xla_encode_grid_medium")
     log(f"encode medium: {enc_m_mpixps:.0f} MPix/s (median)")
@@ -665,9 +699,18 @@ def main() -> int:
         ik = _load("/root/reference/res/ikonos-barcelona-spain.jpg")
         hi, wi = ik.shape
         dik = jax.device_put(jnp.asarray(ik), dev)
+        from rustyhgi_tpu.ops import planar as _planar
+
         sweep_steps = {}
         for lv in range(1, 9):
-            if _pc.supported(lv, hi, wi, quant, "crossed"):
+            # The backend the codec's auto mode would pick on TPU.
+            if _planar.supported_planar(lv, hi, wi, quant, "crossed"):
+                def stp(v, lv=lv):
+                    return _planar.encode_plane_planar(
+                        v, lv, quant, "crossed", want_recon=False
+                    )[0]
+                engine = "planar"
+            elif _pc.supported(lv, hi, wi, quant, "crossed"):
                 def stp(v, lv=lv):
                     return _pc.encode_plane_pallas(
                         v, lv, quant, "crossed", want_recon=False
@@ -739,6 +782,7 @@ def main() -> int:
         "decode_subband_mpix_s": dec_sb_mpixps,
         "encode_medium_mpix_s": enc_m_mpixps,
         "pallas": pallas_rows,
+        "planar": planar_rows,
         "level_sweep": level_sweep,
         "baseline_scalar_cpp": base,
         "lena_container_bytes": sizes,

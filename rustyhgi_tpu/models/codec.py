@@ -72,8 +72,10 @@ class HGICodec:
             quantization = QuantizationLevel.parse(quantization)
         if not 0 <= levels <= 16:
             raise ValueError(f"levels must be in [0, 16], got {levels}")
-        if backend not in ("auto", "xla", "pallas"):
-            raise ValueError(f"backend must be auto/xla/pallas, got {backend!r}")
+        if backend not in ("auto", "xla", "pallas", "planar"):
+            raise ValueError(
+                f"backend must be auto/xla/pallas/planar, got {backend!r}"
+            )
         self.levels = int(levels)
         self.quantization = quantization
         self.predictor = predictor
@@ -84,33 +86,50 @@ class HGICodec:
         self._encode_cache: Dict[Tuple[int, int], jax.stages.Wrapped] = {}
         self._decode_cache: Dict[Tuple[int, int], jax.stages.Wrapped] = {}
 
-    def _use_pallas(self, shape: Tuple[int, int], need_quantize: bool) -> bool:
-        """Pick the fused Pallas kernel when it covers this config.
+    def _engine(self, shape: Tuple[int, int], need_quantize: bool) -> str:
+        """Engine choice for this config: "planar" | "pallas" | "xla".
 
-        ``auto`` prefers the fused whole-pyramid kernel (ops.pallas_codec)
-        — same bits, ~3x the XLA path's throughput on v5e — and falls
-        back to XLA outside its envelope (levels < 2, very wide canvases,
-        table-driven quantizers).
+        All engines are bit-identical to the oracle, so this is pure
+        speed policy.  ``auto`` on TPU prefers the planar-XLA engine
+        (ops.planar — the kernel's planar dataflow as one whole-canvas
+        jit; measured 72.7 vs the kernel's 52.7 GPix/s on the 1080p x8
+        headline, chip_probe xlaplanar), then the fused Pallas kernel,
+        then the dyadic XLA path.  Off-TPU auto keeps the dyadic XLA
+        path (CPU fusion favors it); explicit backends force.
         """
-        if self.backend == "xla":
-            return False
-        from ..ops import pallas_codec
-
         quant = self._quantize_fn() if need_quantize else None
-        ok = pallas_codec.supported(
-            self.levels, shape[0], shape[1], quant, self.predictor
-        )
-        if self.backend == "auto" and jax.default_backend() != "tpu":
-            # Off-TPU the kernel only runs interpreted (slow); auto keeps
-            # the XLA path there.  backend="pallas" still forces it.
-            return False
-        if self.backend == "pallas" and not ok:
-            raise ValueError(
-                "backend='pallas' requested but the fused kernel does not "
-                f"cover levels={self.levels}, shape={shape}, "
-                f"quantizer={self.quantizer!r}, predictor={self.predictor!r}"
+        h, w = shape
+        if self.backend == "xla":
+            return "xla"
+        if self.backend in ("planar", "pallas"):
+            from ..ops import pallas_codec, planar
+
+            ok = (
+                planar.supported_planar(self.levels, h, w, quant, self.predictor)
+                if self.backend == "planar"
+                else pallas_codec.supported(self.levels, h, w, quant,
+                                            self.predictor)
             )
-        return ok
+            if not ok:
+                raise ValueError(
+                    f"backend={self.backend!r} requested but the engine does "
+                    f"not cover levels={self.levels}, shape={shape}, "
+                    f"quantizer={self.quantizer!r}, "
+                    f"predictor={self.predictor!r}"
+                )
+            return self.backend
+        if jax.default_backend() != "tpu":
+            return "xla"
+        from ..ops import pallas_codec, planar
+
+        if planar.supported_planar(self.levels, h, w, quant, self.predictor):
+            return "planar"
+        if pallas_codec.supported(self.levels, h, w, quant, self.predictor):
+            return "pallas"
+        return "xla"
+
+    def _use_pallas(self, shape: Tuple[int, int], need_quantize: bool) -> bool:
+        return self._engine(shape, need_quantize) == "pallas"
 
     def _quantize_fn(self):
         return quantize_fn(self.quantization, self.quantizer)
@@ -121,10 +140,19 @@ class HGICodec:
         fn = self._encode_cache.get(shape)
         if fn is None:
             levels, quant = self.levels, self._quantize_fn()
-            if self._use_pallas(shape[-2:], need_quantize=True):
+            engine = self._engine(shape[-2:], need_quantize=True)
+            pred_name = self.predictor
+            if engine == "planar":
+                from ..ops.planar import encode_plane_planar
+
+                fn = jax.jit(
+                    lambda img: encode_plane_planar(
+                        img, levels, quant, pred_name
+                    )
+                )
+            elif engine == "pallas":
                 from ..ops.pallas_codec import encode_plane_pallas
 
-                pred_name = self.predictor
                 fn = jax.jit(
                     lambda img: encode_plane_pallas(
                         img, levels, quant, pred_name
@@ -142,10 +170,17 @@ class HGICodec:
         fn = self._decode_cache.get(shape)
         if fn is None:
             levels = self.levels
-            if self._use_pallas(shape[-2:], need_quantize=False):
+            engine = self._engine(shape[-2:], need_quantize=False)
+            pred_name = self.predictor
+            if engine == "planar":
+                from ..ops.planar import decode_plane_planar
+
+                fn = jax.jit(
+                    lambda grid: decode_plane_planar(grid, levels, pred_name)
+                )
+            elif engine == "pallas":
                 from ..ops.pallas_codec import decode_plane_pallas
 
-                pred_name = self.predictor
                 fn = jax.jit(
                     lambda grid: decode_plane_pallas(grid, levels, pred_name)
                 )
@@ -195,12 +230,21 @@ class HGICodec:
 
             levels, quant = self.levels, self._quantize_fn()
             h, w = image.shape[-2:]
-            if self._use_pallas((h, w), need_quantize=True) and (
-                supported_subbands(levels, h, w, quant, self.predictor)
+            engine = self._engine((h, w), need_quantize=True)
+            pred_name = self.predictor
+            if engine == "planar":
+                from ..ops.planar import encode_subbands_planar
+
+                fn = jax.jit(
+                    lambda img: encode_subbands_planar(
+                        img, levels, quant, pred_name
+                    )
+                )
+            elif engine == "pallas" and supported_subbands(
+                levels, h, w, quant, self.predictor
             ):
                 from ..ops.pallas_codec import encode_subbands_pallas
 
-                pred_name = self.predictor
                 fn = jax.jit(
                     lambda img: encode_subbands_pallas(
                         img, levels, quant, pred_name
@@ -229,12 +273,21 @@ class HGICodec:
 
             levels, pred = self.levels, self._predictor_fn
             h, w = tuple(shape)[-2:]
-            if self._use_pallas((h, w), need_quantize=False) and (
-                supported_subbands(levels, h, w, None, self.predictor)
+            engine = self._engine((h, w), need_quantize=False)
+            pred_name = self.predictor
+            if engine == "planar":
+                from ..ops.planar import decode_subbands_planar
+
+                fn = jax.jit(
+                    lambda a, s: decode_subbands_planar(
+                        a, s, shape, levels, pred_name
+                    )
+                )
+            elif engine == "pallas" and supported_subbands(
+                levels, h, w, None, self.predictor
             ):
                 from ..ops.pallas_codec import decode_subbands_pallas
 
-                pred_name = self.predictor
                 fn = jax.jit(
                     lambda a, s: decode_subbands_pallas(
                         a, s, shape, levels, pred_name
@@ -252,10 +305,17 @@ class HGICodec:
     def _grid_only_fn(self, shape: Tuple[int, ...]):
         """Residual-grid-only encode (no recon output) for the fast path."""
         levels, quant = self.levels, self._quantize_fn()
-        if self._use_pallas(shape[-2:], need_quantize=True):
-            from ..ops.pallas_codec import encode_plane_pallas
+        engine = self._engine(shape[-2:], need_quantize=True)
+        pred_name = self.predictor
+        if engine == "planar":
+            from ..ops.planar import encode_plane_planar
 
-            pred_name = self.predictor
+            def _grid(img):
+                return encode_plane_planar(
+                    img, levels, quant, pred_name, want_recon=False
+                )[0]
+        elif engine == "pallas":
+            from ..ops.pallas_codec import encode_plane_pallas
 
             def _grid(img):
                 return encode_plane_pallas(

@@ -894,11 +894,21 @@ def supported_subbands(levels: int, h: int, w: int, quantize, predictor) -> bool
     return (th + halo) * wc * 4 * 8 <= 14_000_000
 
 
+# One output buffer per LEVEL (the 3 quads stacked on a size-3 dim)
+# instead of 3 separate outputs: 13 output streams -> 5 for levels=4,
+# fewer DMA windows for Mosaic's output pipeline to juggle.  Toggleable
+# per call so chip_probe can compare both forms on hardware.
+_SB_COALESCE_DEFAULT = True
+
+
 @partial(
     jax.jit,
-    static_argnames=("levels", "error", "predictor", "want_recon", "tile_rows"),
+    static_argnames=(
+        "levels", "error", "predictor", "want_recon", "tile_rows", "coalesce"
+    ),
 )
-def _encode_sub_batch(image, levels, error, predictor, want_recon, tile_rows):
+def _encode_sub_batch(image, levels, error, predictor, want_recon, tile_rows,
+                      coalesce=_SB_COALESCE_DEFAULT):
     n, h, w = image.shape
     levels = effective_levels(levels, h, w)
     quantize = None if error is None else LinearQuantizer(error)
@@ -927,10 +937,19 @@ def _encode_sub_batch(image, levels, error, predictor, want_recon, tile_rows):
             x, levels, quantize, tree, maskf, th, emit_recon,
             valid=(h - t * th) if padless else None,
         )
+        out_refs[0][0] = outs[0]  # anchors
+        if coalesce:
+            for lv in range(len(layout)):
+                ref = out_refs[1 + lv]
+                for j in range(3):
+                    ref[0, j] = outs[1 + 3 * lv + j]
+            next_ref = 1 + len(layout)
+        else:
+            for k, val in enumerate(outs[1:]):
+                out_refs[1 + k][0] = val
+            next_ref = 1 + 3 * len(layout)
         if emit_recon:
-            outs = outs + [recon]
-        for ref, val in zip(out_refs, outs):
-            ref[0] = val
+            out_refs[next_ref][0] = recon
 
     vma = _vma(image)
 
@@ -944,15 +963,30 @@ def _encode_sub_batch(image, levels, error, predictor, want_recon, tile_rows):
             ),
         )
 
+    def spec_level(scale, width):
+        return (
+            jax.ShapeDtypeStruct((n, 3, hp_t >> scale, width), jnp.uint16,
+                                 vma=vma),
+            pl.BlockSpec(
+                (1, 3, th >> scale, width), lambda b, t: (b, 0, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        )
+
     out_shapes, out_specs = [], []
     sh, sp = spec(levels, wp >> levels)  # anchors
     out_shapes.append(sh)
     out_specs.append(sp)
     for kind, scale, width in layout:
-        for _ in range(3):
-            sh, sp = spec(scale, width)
+        if coalesce:
+            sh, sp = spec_level(scale, width)
             out_shapes.append(sh)
             out_specs.append(sp)
+        else:
+            for _ in range(3):
+                sh, sp = spec(scale, width)
+                out_shapes.append(sh)
+                out_specs.append(sp)
     if emit_recon:
         out_shapes.append(jax.ShapeDtypeStruct((n, hp_t, wc), _U32, vma=vma))
         out_specs.append(_out_spec(th, wc))
@@ -976,12 +1010,19 @@ def _encode_sub_batch(image, levels, error, predictor, want_recon, tile_rows):
 
     anchors = to_bytes(results[0], "vals", levels)
     subbands = []
-    i = 1
-    for kind, scale, width in layout:
-        subbands.append(
-            tuple(to_bytes(results[i + j], kind, scale) for j in range(3))
-        )
-        i += 3
+    if coalesce:
+        for i, (kind, scale, width) in enumerate(layout):
+            r = results[1 + i]  # [n, 3, rows, width]
+            subbands.append(
+                tuple(to_bytes(r[:, j], kind, scale) for j in range(3))
+            )
+    else:
+        i = 1
+        for kind, scale, width in layout:
+            subbands.append(
+                tuple(to_bytes(results[i + j], kind, scale) for j in range(3))
+            )
+            i += 3
     if not want_recon:
         return anchors, subbands, None
     if lossless:
@@ -1058,6 +1099,7 @@ def encode_subbands_pallas(
     predictor: str = "crossed",
     want_recon: bool = True,
     tile_rows: Optional[int] = None,
+    coalesce: bool = _SB_COALESCE_DEFAULT,
 ):
     """Fused-kernel counterpart of ops.pyramid.encode_subbands.
 
@@ -1075,7 +1117,7 @@ def encode_subbands_pallas(
     q = _norm_quantize(quantize)
     anchors, subbands, recon = _encode_sub_batch(
         image, int(levels), (None if q is None else q.error), predictor,
-        want_recon, tile_rows,
+        want_recon, tile_rows, coalesce,
     )
     if squeeze:
         anchors = anchors[0]

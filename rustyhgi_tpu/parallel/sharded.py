@@ -68,26 +68,33 @@ def _cache_put(key, fn):
     return fn
 
 
-def _use_pallas_engine(levels, h, w, quant, predictor, force=False) -> bool:
-    """Route the per-device shard through the fused Pallas kernel?
+def _engine_for(levels, h, w, quant, predictor, force_pallas=False) -> str:
+    """Per-shard engine: "planar" | "pallas" | "xla" (HGICodec policy).
 
-    On TPU meshes the production engine (ops.pallas_codec — the same
-    kernel HGICodec's auto backend ships) runs each device's local
-    [b, H, W] shard as a batch grid dimension; off-TPU (CPU tests,
-    dryrun_multichip) the kernel would only interpret, so the XLA
-    engine serves.  Both engines are bit-exact vs the oracle, so the
-    mesh-shape byte-invariance contract is engine-independent.
-
-    ``force=True`` (tests) routes the kernel regardless of backend —
-    the ONLY way the kernel-inside-shard_map combination runs on a
-    multi-device mesh in this environment (the real TPU is one chip),
-    so the CPU suite exercises it in interpret mode (VERDICT r4 #3).
+    All engines are oracle-bit-exact, so mesh-shape byte-invariance is
+    engine-independent.  The planar-XLA engine (ops.planar — fastest
+    measured, chip_probe xlaplanar) is plain XLA, so it runs COMPILED
+    on every backend and composes with shard_map with no vma caveats —
+    the CPU test mesh therefore exercises the production engine
+    directly.  The fused Pallas kernel remains reachable on TPU meshes
+    via HGICodec parity and with ``force_pallas=True`` (tests run it in
+    interpret mode over the virtual mesh — VERDICT r4 #3).
     """
-    from ..ops import pallas_codec
+    from ..ops import pallas_codec, planar
 
-    if not force and jax.default_backend() != "tpu":
-        return False
-    return pallas_codec.supported(levels, h, w, quant, predictor)
+    if force_pallas and pallas_codec.supported(levels, h, w, quant, predictor):
+        return "pallas"
+    if not force_pallas and planar.supported_planar(
+        levels, h, w, quant, predictor
+    ):
+        return "planar"
+    if (
+        not force_pallas
+        and jax.default_backend() == "tpu"
+        and pallas_codec.supported(levels, h, w, quant, predictor)
+    ):
+        return "pallas"
+    return "xla"
 
 
 def _check_vma(use_pallas: bool) -> bool:
@@ -155,12 +162,18 @@ def encode_batch_sharded(
         quant = quantize_fn(quantization)
         pred = predictor_fn(predictor)
         h, w = images.shape[-2:]
-        use_pallas = _use_pallas_engine(
-            levels, h, w, quant, predictor, force=force_pallas
+        engine = _engine_for(
+            levels, h, w, quant, predictor, force_pallas=force_pallas
         )
 
         def local_encode(imgs):
-            if use_pallas:
+            if engine == "planar":
+                from ..ops import planar
+
+                grids, recons = planar.encode_plane_planar(
+                    imgs, levels, quant, predictor
+                )
+            elif engine == "pallas":
                 from ..ops import pallas_codec
 
                 grids, recons = pallas_codec.encode_plane_pallas(
@@ -185,7 +198,7 @@ def encode_batch_sharded(
                 mesh=mesh,
                 in_specs=(spec,),
                 out_specs=(spec, spec, P()),
-                check_vma=_check_vma(use_pallas),
+                check_vma=_check_vma(engine == "pallas"),
             )
         )
         _cache_put(key, fn)
@@ -216,12 +229,16 @@ def decode_batch_sharded(
 
         pred = predictor_fn(predictor)
         h, w = grids.shape[-2:]
-        use_pallas = _use_pallas_engine(
-            levels, h, w, None, predictor, force=force_pallas
+        engine = _engine_for(
+            levels, h, w, None, predictor, force_pallas=force_pallas
         )
 
         def local_decode(gs):
-            if use_pallas:
+            if engine == "planar":
+                from ..ops import planar
+
+                return planar.decode_plane_planar(gs, levels, predictor)
+            if engine == "pallas":
                 from ..ops import pallas_codec
 
                 return pallas_codec.decode_plane_pallas(gs, levels, predictor)
@@ -232,7 +249,7 @@ def decode_batch_sharded(
         fn = jax.jit(
             jax.shard_map(
                 local_decode, mesh=mesh, in_specs=(spec,), out_specs=spec,
-                check_vma=_check_vma(use_pallas),
+                check_vma=_check_vma(engine == "pallas"),
             )
         )
         _cache_put(key, fn)
@@ -240,13 +257,25 @@ def decode_batch_sharded(
     return fn(grids)
 
 
-def _use_pallas_subbands(levels, h, w, quant, predictor, force=False) -> bool:
-    """Subband analogue of :func:`_use_pallas_engine` (extra VMEM gate)."""
-    from ..ops import pallas_codec
+def _sub_engine_for(levels, h, w, quant, predictor, force_pallas=False) -> str:
+    """Subband analogue of :func:`_engine_for` (kernel has a VMEM gate)."""
+    from ..ops import pallas_codec, planar
 
-    if not force and jax.default_backend() != "tpu":
-        return False
-    return pallas_codec.supported_subbands(levels, h, w, quant, predictor)
+    if force_pallas and pallas_codec.supported_subbands(
+        levels, h, w, quant, predictor
+    ):
+        return "pallas"
+    if not force_pallas and planar.supported_planar(
+        levels, h, w, quant, predictor
+    ):
+        return "planar"
+    if (
+        not force_pallas
+        and jax.default_backend() == "tpu"
+        and pallas_codec.supported_subbands(levels, h, w, quant, predictor)
+    ):
+        return "pallas"
+    return "xla"
 
 
 def encode_subbands_batch_sharded(
@@ -280,12 +309,18 @@ def encode_subbands_batch_sharded(
         quant = quantize_fn(quantization)
         pred = predictor_fn(predictor)
         h, w = images.shape[-2:]
-        use_pallas = _use_pallas_subbands(
-            levels, h, w, quant, predictor, force=force_pallas
+        engine = _sub_engine_for(
+            levels, h, w, quant, predictor, force_pallas=force_pallas
         )
 
         def local(imgs):
-            if use_pallas:
+            if engine == "planar":
+                from ..ops import planar
+
+                anchors, subbands, _ = planar.encode_subbands_planar(
+                    imgs, levels, quant, predictor, want_recon=False
+                )
+            elif engine == "pallas":
                 from ..ops import pallas_codec
 
                 anchors, subbands, _ = pallas_codec.encode_subbands_pallas(
@@ -302,7 +337,7 @@ def encode_subbands_batch_sharded(
         fn = jax.jit(
             jax.shard_map(
                 local, mesh=mesh, in_specs=(spec,), out_specs=spec,
-                check_vma=_check_vma(use_pallas),
+                check_vma=_check_vma(engine == "pallas"),
             )
         )
         _cache_put(key, fn)
@@ -340,12 +375,18 @@ def decode_subbands_batch_sharded(
 
         pred = predictor_fn(predictor)
         h, w = tuple(shape)[-2:]
-        use_pallas = _use_pallas_subbands(
-            levels, h, w, None, predictor, force=force_pallas
+        engine = _sub_engine_for(
+            levels, h, w, None, predictor, force_pallas=force_pallas
         )
 
         def local(a, s):
-            if use_pallas:
+            if engine == "planar":
+                from ..ops import planar
+
+                return planar.decode_subbands_planar(
+                    a, s, (h, w), levels, predictor
+                )
+            if engine == "pallas":
                 from ..ops import pallas_codec
 
                 return pallas_codec.decode_subbands_pallas(
@@ -360,7 +401,7 @@ def decode_subbands_batch_sharded(
         fn = jax.jit(
             jax.shard_map(
                 local, mesh=mesh, in_specs=(spec, spec), out_specs=spec,
-                check_vma=_check_vma(use_pallas),
+                check_vma=_check_vma(engine == "pallas"),
             )
         )
         _cache_put(key, fn)

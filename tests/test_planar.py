@@ -1,0 +1,103 @@
+"""Planar-XLA engine (ops.planar) — oracle bit-exactness + routing.
+
+The planar engine compiles the Pallas kernel's planar dataflow as plain
+XLA (no pallas_call), so unlike the kernel it runs COMPILED on CPU too —
+these tests exercise the very graph the TPU executes, not an
+interpreter stand-in.
+"""
+
+import numpy as np
+import pytest
+
+from rustyhgi_tpu.models.codec import HGICodec
+from rustyhgi_tpu.oracle import oracle_decode, oracle_encode
+from rustyhgi_tpu.ops import planar, pyramid
+from rustyhgi_tpu.ops.quantizers import QuantizationLevel, quantize_fn
+
+MATRIX = [
+    ((48, 64), 3, QuantizationLevel.LOSSLESS, "crossed"),
+    ((48, 64), 3, QuantizationLevel.MEDIUM, "crossed"),
+    ((37, 53), 4, QuantizationLevel.HIGH, "crossed"),
+    ((32, 48), 2, QuantizationLevel.LOW, "left_top"),
+    ((65, 17), 5, QuantizationLevel.LOSSLESS, "crossed"),
+    ((128, 96), 6, QuantizationLevel.MEDIUM, "crossed"),  # step > ragged dims
+]
+
+
+@pytest.mark.parametrize("shape,levels,preset,pred", MATRIX)
+def test_planar_grid_bit_exact(rng, shape, levels, preset, pred):
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    quant = quantize_fn(preset)
+    grid, recon = planar.encode_plane_planar(img, levels, quant, pred)
+    assert np.array_equal(np.asarray(grid), oracle_encode(img, levels, preset, pred))
+    dec = planar.decode_plane_planar(np.asarray(grid), levels, pred)
+    assert np.array_equal(
+        np.asarray(dec), oracle_decode(np.asarray(grid), levels, pred)
+    )
+    assert np.array_equal(np.asarray(dec), np.asarray(recon))
+
+
+@pytest.mark.parametrize(
+    "shape,levels,preset,pred",
+    [m for m in MATRIX if m[3] == "crossed"],
+)
+def test_planar_subbands_bit_exact(rng, shape, levels, preset, pred):
+    import jax
+
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    quant = quantize_fn(preset)
+    a_ref, s_ref, recon_ref = pyramid.encode_subbands(
+        jax.numpy.asarray(img), levels, quant
+    )
+    a, s, recon = planar.encode_subbands_planar(img, levels, quant, pred)
+    assert np.array_equal(np.asarray(a), np.asarray(a_ref))
+    for quads, quads_ref in zip(s, s_ref):
+        for q, q_ref in zip(quads, quads_ref):
+            assert np.array_equal(np.asarray(q), np.asarray(q_ref))
+    dec = planar.decode_subbands_planar(a, s, shape, levels, pred)
+    assert np.array_equal(np.asarray(dec), np.asarray(recon_ref))
+
+
+def test_planar_batch_matches_per_plane(rng):
+    imgs = rng.integers(0, 256, (4, 40, 56), dtype=np.uint8)
+    quant = quantize_fn(QuantizationLevel.MEDIUM)
+    grids, recons = planar.encode_plane_planar(imgs, 3, quant)
+    for i in range(4):
+        assert np.array_equal(
+            np.asarray(grids)[i],
+            oracle_encode(imgs[i], 3, QuantizationLevel.MEDIUM),
+        )
+    dec = planar.decode_plane_planar(np.asarray(grids), 3)
+    assert np.array_equal(np.asarray(dec), np.asarray(recons))
+
+
+def test_backend_planar_forced(rng):
+    img = rng.integers(0, 256, (48, 64), dtype=np.uint8)
+    codec = HGICodec(3, "medium", backend="planar")
+    grid, recon = codec.encode_plane(img)
+    assert np.array_equal(
+        np.asarray(grid), oracle_encode(img, 3, QuantizationLevel.MEDIUM)
+    )
+    assert np.array_equal(np.asarray(codec.decode_plane(grid)), np.asarray(recon))
+    a, s, _ = codec.encode_subbands(img)
+    dec = codec.decode_subbands(a, s, img.shape)
+    assert np.array_equal(np.asarray(dec), np.asarray(recon))
+    blob = codec.write_fast(img)
+    from rustyhgi_tpu.utils.container import read_thgi
+
+    assert np.array_equal(read_thgi(blob).grid, np.asarray(grid))
+
+
+def test_backend_planar_out_of_envelope_raises():
+    codec = HGICodec(1, "lossless", backend="planar")  # levels<2 unsupported
+    with pytest.raises(ValueError, match="does not cover"):
+        codec.encode_plane(np.zeros((16, 16), np.uint8))
+
+
+def test_planar_supported_has_no_width_cap():
+    # The Pallas kernel caps canvas width (VMEM); planar must not.
+    from rustyhgi_tpu.ops import pallas_codec
+
+    q = quantize_fn(QuantizationLevel.LOSSLESS)
+    assert not pallas_codec.supported(4, 64, 32768, q, "crossed")
+    assert planar.supported_planar(4, 64, 32768, q, "crossed")

@@ -84,11 +84,35 @@ def cmd_validate():
             ds_ok = np.array_equal(np.asarray(dsb), np.asarray(ref))
         else:
             ds_ok = True
+        # planar-XLA engine (the auto default on TPU): all four surfaces
+        from rustyhgi_tpu.ops import planar as pl_eng
+
+        if pl_eng.supported_planar(levels, h, w, q, pred):
+            gp2, _ = pl_eng.encode_plane_planar(img, levels, q, pred)
+            p_ok = np.array_equal(np.asarray(gp2), grid_o)
+            dp2 = pl_eng.decode_plane_planar(grid_o, levels, pred)
+            p_ok &= np.array_equal(
+                np.asarray(dp2), oracle_decode(grid_o, levels, pred))
+            if pred == "crossed":
+                a3, s3, _ = pl_eng.encode_subbands_planar(img, levels, q, pred)
+                p_ok &= np.array_equal(np.asarray(a1), np.asarray(a3)) and all(
+                    np.array_equal(np.asarray(x), np.asarray(y))
+                    for qs1, qs2 in zip(s1, s3)
+                    for x, y in zip(qs1, qs2)
+                )
+                dsb3 = pl_eng.decode_subbands_planar(a1, s1, (h, w), levels, pred)
+                p_ok &= np.array_equal(
+                    np.asarray(dsb3),
+                    np.asarray(pyramid.decode_subbands(a1, s1, (h, w), levels)),
+                )
+        else:
+            p_ok = True
         print(f"{h}x{w} l{levels} {preset.name} {pred}: "
               f"grid={'OK' if g_ok else 'FAIL'} decode={'OK' if d_ok else 'FAIL'} "
               f"subband={'OK' if s_ok else 'FAIL'} "
-              f"sb-decode={'OK' if ds_ok else 'FAIL'}")
-        ok &= g_ok and d_ok and s_ok and ds_ok
+              f"sb-decode={'OK' if ds_ok else 'FAIL'} "
+              f"planar={'OK' if p_ok else 'FAIL'}")
+        ok &= g_ok and d_ok and s_ok and ds_ok and p_ok
     return 0 if ok else 1
 
 
@@ -153,6 +177,8 @@ def cmd_engines():
         g, r = pyramid.encode_plane(v, L, ql)
         return g ^ r
 
+    from rustyhgi_tpu.ops import planar as pl_eng
+
     rows = [
         ("xla_subband", xla_sb),
         ("xla_grid", xla_grid),
@@ -160,6 +186,11 @@ def cmd_engines():
             v, L, ql, "crossed", want_recon=False)[0]),
         ("pallas_subband", lambda v: sb_reduce(
             v, pc.encode_subbands_pallas(v, L, ql, "crossed", want_recon=False))),
+        ("planar_grid", lambda v: pl_eng.encode_plane_planar(
+            v, L, ql, "crossed", want_recon=False)[0]),
+        ("planar_subband", lambda v: sb_reduce(
+            v, pl_eng.encode_subbands_planar(v, L, ql, "crossed",
+                                             want_recon=False))),
     ]
     rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 5
     samples = {name: [] for name, _ in rows}
@@ -174,6 +205,72 @@ def cmd_engines():
         med = np.median(v)
         print(f"{name:16s} median {med:6.1f}  min {v.min():6.1f}  "
               f"max {v.max():6.1f}  spread {(v.max() - v.min()) / med * 100:5.1f}%")
+    return 0
+
+
+def cmd_xlaplanar():
+    """The Pallas kernel's planar dataflow as PLAIN XLA — no pallas_call.
+
+    vpucal v2 measured XLA elementwise int32 at ~3x the Mosaic kernel's
+    per-op rate (1.47 vs 0.49 Tops/s on the identical chain), so the
+    planar u32-word dataflow (pallas_codec._encode_core — pure jnp,
+    already the interpret-mode path) may be FASTER compiled as one XLA
+    jit on the whole canvas: no tile halo redundancy, no Mosaic
+    scheduling gap.  Compare against both production engines.
+    """
+    print("device:", jax.devices()[0])
+    x = _batch()
+    ql = quantize_fn(QuantizationLevel.LOSSLESS)
+    floor = 2 * int(np.prod(x.shape))
+    pix = int(np.prod(x.shape))
+    step = 1 << L
+    hp = -(-H // step) * step
+    wp = -(-W // step) * step
+    wc = wp // 4
+    tree = pc._TREES["crossed"]
+
+    def planar(v):
+        def one(im):
+            padded = jnp.pad(im, ((0, hp - H), (0, wp - W)))
+            xw = lax.bitcast_convert_type(
+                padded.reshape(hp, wc, 4), pc._U32)
+            grid, _ = pc._encode_tile(
+                xw, L, None, tree, pc._NO_MASK, hp, False)
+            return grid
+
+        return pc._from_words(jax.vmap(one)(v), H, W)
+
+    def pallas_grid(v):
+        return pc.encode_plane_pallas(v, L, ql, "crossed",
+                                      want_recon=False)[0]
+
+    def xla_grid(v):
+        g, r = pyramid.encode_plane(v, L, ql)
+        return g ^ r
+
+    # bit-exactness first
+    g_p = np.asarray(planar(x))
+    g_ref = oracle_encode(np.asarray(x[0]), L, QuantizationLevel.LOSSLESS)
+    print("planar bits vs oracle:", "OK" if np.array_equal(g_p[0], g_ref)
+          else "FAIL", flush=True)
+
+    rows = [("xla_planar", planar), ("pallas_grid", pallas_grid),
+            ("xla_grid", xla_grid)]
+    rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    samples = {name: [] for name, _ in rows}
+    for r in range(rounds):
+        for name, stp in rows:
+            t = device_seconds_per_call(stp, x, k_lo=8, k_hi=104,
+                                        floor_bytes=floor)
+            samples[name].append(pix / t / 1e9)
+            print(f"  round {r} {name:12s} {pix / t / 1e9:6.1f} GPix/s",
+                  flush=True)
+    print()
+    for name, vals in samples.items():
+        v = np.asarray(vals)
+        med = np.median(v)
+        print(f"{name:12s} median {med:6.1f}  spread "
+              f"{(v.max() - v.min()) / med * 100:5.1f}%")
     return 0
 
 
@@ -215,20 +312,30 @@ def cmd_sbreduce():
                 acc = acc + q[0, 0, 0].astype(jnp.int32)
         return v ^ (acc & 255).astype(jnp.uint8)
 
-    def anchsum(v):
+    def tap_nocoal(v):
         a, s, _ = pc.encode_subbands_pallas(v, L, ql, "crossed",
-                                            want_recon=False)
-        acc = jnp.sum(a, dtype=jnp.int32)
+                                            want_recon=False, coalesce=False)
+        acc = a[0, 0, 0].astype(jnp.int32)
         for quads in s:
             for q in quads:
                 acc = acc + q[0, 0, 0].astype(jnp.int32)
+        return v ^ (acc & 255).astype(jnp.uint8)
+
+    def full_nocoal(v):
+        a, s, _ = pc.encode_subbands_pallas(v, L, ql, "crossed",
+                                            want_recon=False, coalesce=False)
+        acc = jnp.sum(a, dtype=jnp.int32)
+        for quads in s:
+            for q in quads:
+                acc = acc + jnp.sum(q, dtype=jnp.int32)
         return v ^ (acc & 255).astype(jnp.uint8)
 
     def grid_ref(v):
         return pc.encode_plane_pallas(v, L, ql, "crossed",
                                       want_recon=False)[0]
 
-    rows = [("fullsum", full), ("tap", tap), ("anchsum", anchsum),
+    rows = [("fullsum", full), ("tap", tap),
+            ("full13", full_nocoal), ("tap13", tap_nocoal),
             ("grid(ref)", grid_ref)]
     rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 5
     samples = {name: [] for name, _ in rows}
@@ -406,94 +513,93 @@ def cmd_vpucal():
     """VPU op-rate calibration SUITE on the kernel's own data layout.
 
     Round-4's roofline rested on ONE probe (a 3-op dependent chain on
-    the 16 planes) measuring 0.44 int32 Tops/s effective — ~8x below
-    the v5e VPU's nominal elementwise rate — with no cross-check
-    (VERDICT r4 #1).  This suite varies the one probe along every axis
-    that could explain the gap:
+    the 16 planes, op count UNROLLED into the kernel) measuring 0.44
+    int32 Tops/s effective — ~8x below the v5e VPU's nominal
+    elementwise rate — with no cross-check (VERDICT r4 #1).  This suite
+    varies that probe along every axis that could explain the gap:
 
-      mix3 x16     the r4 probe: add+shr+xor dependent chain, 16
-                   independent plane chains (ILP-rich — the codec's own
-                   shape: its levels interleave 12+ independent quads)
-      mix3 x1dep   SAME op count strung into one 16x-longer dependent
-                   chain on one plane (ILP-free).  If this is much
-                   slower per op, the hardware has issue-width headroom
-                   and the x16 figure already banks it.
-      add / shr / csel   single-op-class chains (x16 planes): which op
-                   class is slow?  The codec mix is ~55% add, ~25%
-                   shift, ~10% compare/select, ~10% bitops.
-      addf32       f32 add chain (x16): are int32 ALUs the limiter?
-      xla mix3     the IDENTICAL mix3 chain on the same int32 planes as
-                   a plain XLA elementwise jit (no Pallas): independent
-                   compiler, same hardware.  Agreement pins the number
-                   on the machine, not on Mosaic scheduling.
+      mix3x16      the r4 probe chain: add+shr+xor, 16 independent
+                   plane chains (ILP-rich — the codec's own shape)
+      add / shift / csel   single-op-class chains: which op class is
+                   slow?  The codec mix is ~55%% add, ~25%% shift,
+                   ~10%% compare/select, ~10%% bitops.
+      f32add       f32 adds: are int32 ALUs the limiter?
+      xla          the IDENTICAL mix3 chain as a plain XLA elementwise
+                   jit (no Pallas): independent compiler, same machine.
 
-    Every row reports effective Tops/s normalized by its per-pixel op
-    count; slopes between k_ops=4 and 24 cancel all fixed costs (load,
-    split, pack, store, dispatch).  Results feed README's ROOFLINE
-    section; the codec runs ~11-13 ops/pixel.
+    Probe design (v2): the round count k is a DEVICE OPERAND driving a
+    ``lax.fori_loop`` (Mosaic: k arrives via SMEM), so each row is ONE
+    compile — the v1 unrolled-chain design needed 4 slow tunnel
+    compiles per row and regularly blew the 10-minute window.  Timing
+    is direct dispatch at k in {200, 2000}: at 2000 rounds the device
+    time (~hundreds of ms) dwarfs the ~25 ms tunnel RTT, and the slope
+    between the two k cancels dispatch and the fixed split/pack work.
+    Effective rate = 3 * (k_hi - k_lo) * pixels / dt.
+
+    A latency-exposing "dependent" variant (all 16 chains strung
+    serially) was considered and dropped: each vector op on a (32, 480)
+    plane spans ~15 vregs, so even a serialized chain has 15-way ILP
+    inside every op — it cannot isolate issue width.
     """
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     print("device:", jax.devices()[0])
     x = _batch()
     n, h, w = x.shape
     pix = int(np.prod(x.shape))
+    K_LO, K_HI = 200, 2000
 
-    # Per-plane op chains; each returns (new_p, ops_in_chain).
-    def chain_mix3(p, k_ops):
-        for i in range(k_ops):
-            p = ((p + (i + 1)) >> 1) ^ p
-        return p, 3 * k_ops
+    # One fori round == 3 ops per pixel for every chain kind.
+    def mk_round(kind):
+        if kind == "mix3":
+            return lambda i, p: ((p + (i + 1)) >> 1) ^ p, jnp.int32
+        if kind == "add":
+            # three DISTINCT-operand adds (constant-constant folds away)
+            return lambda i, p: ((p + (i | 1)) + p) + i, jnp.int32
+        if kind == "shift":
+            # shr, xor, shr — not algebraically collapsible
+            return lambda i, p: ((p >> 1) ^ p) >> 1, jnp.int32
+        if kind == "csel":
+            return (
+                lambda i, p: jnp.where(p > (i | 1), p + 1, p),
+                jnp.int32,
+            )  # cmp + add + select
+        if kind == "f32add":
+            # add, mul, add — converges to a finite fixpoint over any k
+            return (
+                lambda i, p: (p + jnp.float32(1.5)) * jnp.float32(0.5)
+                + jnp.float32(0.25),
+                jnp.float32,
+            )
+        raise KeyError(kind)
 
-    def chain_add(p, k_ops):
-        for i in range(3 * k_ops):
-            p = p + (i | 1)
-        return p, 3 * k_ops
+    def build_mosaic(kind):
+        rnd, dt = mk_round(kind)
 
-    def chain_shr(p, k_ops):
-        for i in range(3 * k_ops):
-            # alternate shifts with one add so the value never pins at 0
-            p = (p >> 1) if i % 3 else (p + 0x5A5A5)
-        return p, 3 * k_ops
-
-    def chain_csel(p, k_ops):
-        for i in range(k_ops):
-            p = jnp.where(p > (i | 1), p + 1, p)  # cmp + add + select
-        return p, 3 * k_ops
-
-    def chain_addf32(p, k_ops):
-        pf = p.astype(jnp.float32)
-        for i in range(3 * k_ops):
-            pf = pf + jnp.float32(i | 1)
-        return pf.astype(pc._PT), 3 * k_ops
-
-    def build(k_ops, chain, planes=16):
         @jax.jit
-        def run(image):
+        def run(image, k):
             hp_t, wp, wc, th, halo, n_tiles = pc._plan(h, w, 4, 1, None)
             xw = lax.bitcast_convert_type(image.reshape(n, h, wc, 4), pc._U32)
+            karr = jnp.full((1,), k, jnp.int32)
 
-            def kernel(main_ref, halo_ref, out_ref):
+            def kernel(k_ref, main_ref, halo_ref, out_ref):
                 t = pl.program_id(1) if n_tiles > 1 else 0
                 xx = jnp.concatenate([main_ref[0], halo_ref[0]], axis=0)
                 pc._CACHE = {}
                 try:
                     D = pc._bytes16_from_u32(xx, h - t * th)
-                    if planes == 16:
-                        for ry in range(4):
-                            for rx in range(4):
-                                p, _ = chain(D[ry][rx], k_ops)
-                                D[ry][rx] = p & 255
-                    else:
-                        # Same total op count, ONE dependent chain: the
-                        # 16 plane-chains are strung serially through a
-                        # single carry (ILP-free by data dependence).
-                        carry = D[0][0]
-                        for ry in range(4):
-                            for rx in range(4):
-                                carry = carry ^ D[ry][rx]
-                                carry, _ = chain(carry, k_ops)
-                                D[ry][rx] = carry & 255
+                    planes = [D[ry][rx].astype(dt) for ry in range(4)
+                              for rx in range(4)]
+
+                    def body(i, ps):
+                        return [rnd(i, p) for p in ps]
+
+                    planes = lax.fori_loop(0, k_ref[0], body, planes)
+                    for ry in range(4):
+                        for rx in range(4):
+                            D[ry][rx] = planes[4 * ry + rx].astype(
+                                pc._PT) & 255
                     out_ref[0] = pc._pack_u32(D, th // 4)
                 finally:
                     pc._CACHE = None
@@ -501,43 +607,33 @@ def cmd_vpucal():
             return pl.pallas_call(
                 kernel,
                 grid=(n, n_tiles),
-                in_specs=pc._pair_specs(th, halo, wc),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    *pc._pair_specs(th, halo, wc),
+                ],
                 out_specs=pc._out_spec(th, wc),
                 out_shape=jax.ShapeDtypeStruct((n, hp_t, wc), pc._U32),
-            )(xw, xw)
+            )(karr, xw, xw)
 
         return run
 
-    K_LO_OPS, K_HI_OPS = 4, 12  # 24 made Mosaic compiles of the big
-    # unrolled chains take minutes each; the slope only needs two points
+    def build_xla(kind):
+        rnd, dt = mk_round(kind)
 
-    def measure(mk_fn, ops_per_pix_per_k):
-        times = {}
-        for k_ops in (K_LO_OPS, K_HI_OPS):
-            f = mk_fn(k_ops)
-            step = lambda v, f=f: lax.bitcast_convert_type(
-                f(v)[..., None], pc._U8).reshape(n, -1, 480 * 4)[:, :h, :w]
-            times[k_ops] = device_seconds_per_call(
-                step, x, k_lo=8, k_hi=40, floor_bytes=2 * pix)
-        dt = times[K_HI_OPS] - times[K_LO_OPS]
-        ops = ops_per_pix_per_k * (K_HI_OPS - K_LO_OPS) * pix
-        return ops / dt, times
-
-    # XLA elementwise control: identical mix3 chain, same shapes/dtype,
-    # no Pallas — an independent compiler's view of the same machine.
-    def xla_build(k_ops):
         @jax.jit
-        def run(image):
+        def run(image, k):
             xw = lax.bitcast_convert_type(
                 image.reshape(n, h, w // 4, 4), pc._U32)
             planes = [
-                (xw >> pc._U32(8 * rx)).astype(pc._PT) & 255 for rx in range(4)
+                ((xw >> pc._U32(8 * rx)).astype(pc._PT) & 255).astype(dt)
+                for rx in range(4)
             ]
-            outs = []
-            for p in planes:
-                for i in range(k_ops):
-                    p = ((p + (i + 1)) >> 1) ^ p
-                outs.append(p & 255)
+
+            def body(i, ps):
+                return [rnd(i, p) for p in ps]
+
+            outs = lax.fori_loop(0, k, body, planes)
+            outs = [o.astype(pc._PT) & 255 for o in outs]
             w32 = (outs[0].astype(pc._U32)
                    | (outs[1].astype(pc._U32) << pc._U32(8))
                    | (outs[2].astype(pc._U32) << pc._U32(16))
@@ -547,24 +643,34 @@ def cmd_vpucal():
 
         return run
 
+    def measure(runfn):
+        times = {}
+        for k in (K_LO, K_HI):
+            ka = jnp.int32(k)
+            np.asarray(runfn(x, ka).ravel()[:1])  # warm/compile
+            times[k] = min_time(
+                lambda: np.asarray(runfn(x, ka).ravel()[:1]), iters=3)
+        dt_s = times[K_HI] - times[K_LO]
+        ops = 3 * (K_HI - K_LO) * pix
+        return ops / dt_s, times
+
     rows = [
-        ("mix3x16", lambda k: build(k, chain_mix3), 3),
-        ("dep", lambda k: build(k, chain_mix3, planes=1), 3),
-        ("add", lambda k: build(k, chain_add), 3),
-        ("shift", lambda k: build(k, chain_shr), 3),
-        ("csel", lambda k: build(k, chain_csel), 3),
-        ("f32add", lambda k: build(k, chain_addf32), 3),
-        ("xla", xla_build, 3),
+        ("mix3x16", lambda: build_mosaic("mix3")),
+        ("add", lambda: build_mosaic("add")),
+        ("shift", lambda: build_mosaic("shift")),
+        ("csel", lambda: build_mosaic("csel")),
+        ("f32add", lambda: build_mosaic("f32add")),
+        ("xla", lambda: build_xla("mix3")),
     ]
     only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
-    for name, mk, oppk in rows:
+    for name, mk in rows:
         if only is not None and name not in only:
             continue
         try:
-            rate, times = measure(mk, oppk)
+            rate, times = measure(mk())
             print(f"{name:10s} {rate / 1e12:6.2f} Tops/s  "
-                  f"(t{K_LO_OPS} {times[K_LO_OPS]*1e6:7.1f} us, "
-                  f"t{K_HI_OPS} {times[K_HI_OPS]*1e6:7.1f} us)",
+                  f"(k{K_LO} {times[K_LO]*1e3:8.1f} ms, "
+                  f"k{K_HI} {times[K_HI]*1e3:8.1f} ms)",
                   flush=True)
         except Exception as e:
             print(f"{name:10s} FAILED: {str(e).splitlines()[0][:90]}",
@@ -633,4 +739,5 @@ if __name__ == "__main__":
               "sweep": cmd_sweep, "rans": cmd_rans,
               "engines": cmd_engines, "sbreduce": cmd_sbreduce,
               "kpairs": cmd_kpairs, "rollvar": cmd_rollvar,
+              "xlaplanar": cmd_xlaplanar,
               "vpucal": cmd_vpucal, "sharded": cmd_sharded}[cmd]())
