@@ -895,10 +895,13 @@ def supported_subbands(levels: int, h: int, w: int, quantize, predictor) -> bool
 
 
 # One output buffer per LEVEL (the 3 quads stacked on a size-3 dim)
-# instead of 3 separate outputs: 13 output streams -> 5 for levels=4,
-# fewer DMA windows for Mosaic's output pipeline to juggle.  Toggleable
-# per call so chip_probe can compare both forms on hardware.
-_SB_COALESCE_DEFAULT = True
+# instead of 3 separate outputs: 13 output streams -> 5 for levels=4.
+# MEASURED SLOWER on v5e (chip_probe sbreduce r5: coalesced 47.5 vs
+# 49.4 GPix/s median for the 13-output form, which also had the
+# tightest spread of any row at 2.3%) — Mosaic handles many small
+# output windows better than strided 4D blocks.  Kept toggleable for
+# re-measurement on future toolchains; default OFF.
+_SB_COALESCE_DEFAULT = False
 
 
 @partial(

@@ -94,6 +94,26 @@ def test_backend_planar_out_of_envelope_raises():
         codec.encode_plane(np.zeros((16, 16), np.uint8))
 
 
+def test_pallas_subband_coalesced_form_still_bit_exact(rng):
+    # The coalesced per-level output form is non-default (measured
+    # slower on v5e — see pallas_codec._SB_COALESCE_DEFAULT) but stays
+    # a supported toggle; keep it from rotting.
+    import jax
+
+    from rustyhgi_tpu.ops import pallas_codec
+
+    img = rng.integers(0, 256, (48, 64), dtype=np.uint8)
+    quant = quantize_fn(QuantizationLevel.MEDIUM)
+    a_ref, s_ref, _ = pyramid.encode_subbands(jax.numpy.asarray(img), 3, quant)
+    a, s, _ = pallas_codec.encode_subbands_pallas(
+        img, 3, quant, "crossed", coalesce=True
+    )
+    assert np.array_equal(np.asarray(a), np.asarray(a_ref))
+    for quads, quads_ref in zip(s, s_ref):
+        for q, q_ref in zip(quads, quads_ref):
+            assert np.array_equal(np.asarray(q), np.asarray(q_ref))
+
+
 def test_planar_supported_has_no_width_cap():
     # The Pallas kernel caps canvas width (VMEM); planar must not.
     from rustyhgi_tpu.ops import pallas_codec

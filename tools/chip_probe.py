@@ -574,16 +574,18 @@ def cmd_vpucal():
             )
         raise KeyError(kind)
 
-    def build_mosaic(kind):
+    def build_mosaic(kind, k_trip):
+        # k is a STATIC fori trip count: the loop body is compiled once
+        # (cheap) regardless of k, and a dynamic SMEM-fed trip count
+        # crashes this toolchain's remote Mosaic compiler (HTTP 500).
         rnd, dt = mk_round(kind)
 
         @jax.jit
-        def run(image, k):
+        def run(image):
             hp_t, wp, wc, th, halo, n_tiles = pc._plan(h, w, 4, 1, None)
             xw = lax.bitcast_convert_type(image.reshape(n, h, wc, 4), pc._U32)
-            karr = jnp.full((1,), k, jnp.int32)
 
-            def kernel(k_ref, main_ref, halo_ref, out_ref):
+            def kernel(main_ref, halo_ref, out_ref):
                 t = pl.program_id(1) if n_tiles > 1 else 0
                 xx = jnp.concatenate([main_ref[0], halo_ref[0]], axis=0)
                 pc._CACHE = {}
@@ -595,7 +597,7 @@ def cmd_vpucal():
                     def body(i, ps):
                         return [rnd(i, p) for p in ps]
 
-                    planes = lax.fori_loop(0, k_ref[0], body, planes)
+                    planes = lax.fori_loop(0, k_trip, body, planes)
                     for ry in range(4):
                         for rx in range(4):
                             D[ry][rx] = planes[4 * ry + rx].astype(
@@ -607,13 +609,10 @@ def cmd_vpucal():
             return pl.pallas_call(
                 kernel,
                 grid=(n, n_tiles),
-                in_specs=[
-                    pl.BlockSpec(memory_space=pltpu.SMEM),
-                    *pc._pair_specs(th, halo, wc),
-                ],
+                in_specs=pc._pair_specs(th, halo, wc),
                 out_specs=pc._out_spec(th, wc),
                 out_shape=jax.ShapeDtypeStruct((n, hp_t, wc), pc._U32),
-            )(karr, xw, xw)
+            )(xw, xw)
 
         return run
 
@@ -643,31 +642,34 @@ def cmd_vpucal():
 
         return run
 
-    def measure(runfn):
+    def measure(mk_fn, dynamic_k):
         times = {}
         for k in (K_LO, K_HI):
-            ka = jnp.int32(k)
-            np.asarray(runfn(x, ka).ravel()[:1])  # warm/compile
+            if dynamic_k:
+                f, ka = mk_fn, (jnp.int32(k),)
+            else:
+                f, ka = mk_fn(k), ()
+            np.asarray(f(x, *ka).ravel()[:1])  # warm/compile
             times[k] = min_time(
-                lambda: np.asarray(runfn(x, ka).ravel()[:1]), iters=3)
+                lambda: np.asarray(f(x, *ka).ravel()[:1]), iters=3)
         dt_s = times[K_HI] - times[K_LO]
         ops = 3 * (K_HI - K_LO) * pix
         return ops / dt_s, times
 
     rows = [
-        ("mix3x16", lambda: build_mosaic("mix3")),
-        ("add", lambda: build_mosaic("add")),
-        ("shift", lambda: build_mosaic("shift")),
-        ("csel", lambda: build_mosaic("csel")),
-        ("f32add", lambda: build_mosaic("f32add")),
-        ("xla", lambda: build_xla("mix3")),
+        ("mix3x16", lambda k: build_mosaic("mix3", k), False),
+        ("add", lambda k: build_mosaic("add", k), False),
+        ("shift", lambda k: build_mosaic("shift", k), False),
+        ("csel", lambda k: build_mosaic("csel", k), False),
+        ("f32add", lambda k: build_mosaic("f32add", k), False),
+        ("xla", build_xla("mix3"), True),
     ]
     only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
-    for name, mk in rows:
+    for name, mk, dyn in rows:
         if only is not None and name not in only:
             continue
         try:
-            rate, times = measure(mk())
+            rate, times = measure(mk, dyn)
             print(f"{name:10s} {rate / 1e12:6.2f} Tops/s  "
                   f"(k{K_LO} {times[K_LO]*1e3:8.1f} ms, "
                   f"k{K_HI} {times[K_HI]*1e3:8.1f} ms)",
