@@ -8,9 +8,10 @@ is absent, so the -O3 C++ twin of the reference's scalar algorithm is the
 baseline on this host).
 
 The headline is the best COMPLETE encode to an archivable layout across
-the framework's engines — the fused Pallas whole-pyramid kernel
-(ops.pallas_codec, the production backend on TPU) and the XLA dyadic
-path (ops.pyramid) — i.e. bench what ships (reference
+the framework's engines — the planar-XLA whole-canvas engine
+(ops.planar, the production backend on TPU), the fused Pallas
+whole-pyramid kernel (ops.pallas_codec), and the XLA dyadic path
+(ops.pyramid) — i.e. bench what ships (reference
 benches/bench.rs:33-159).  Every engine's rows go to BENCH_DETAILS.json.
 
 Measurement methodology: the TPU here sits behind a tunnel whose dispatch
@@ -233,11 +234,16 @@ def main() -> int:
         ("planar_subband", enc_planar_sb_step, 2),
     ]
     engine_samples = {name: [] for name, _, _ in engine_rows}
+    # K span 8..232: at the planar engine's ~190 us/call the old 96-iter
+    # span put only ~18 ms between the two timed points, so the tunnel's
+    # +-2-3 ms RTT jitter alone produced ~15% slope spread (the r5
+    # planar rows measured 19-34% while pallas at 300 us/call sat at
+    # 6-9%).  224 iters puts ~45 ms in the span.
     for rnd in range(ENGINE_ROUNDS):
         for name, step, floor_mult in engine_rows:
             try:
                 t = device_seconds_per_call(
-                    step, dbatch, k_lo=8, k_hi=104,
+                    step, dbatch, k_lo=8, k_hi=232,
                     floor_bytes=floor_mult * npix_batch,
                 )
                 engine_samples[name].append(npix_batch / t / 1e6)
@@ -314,7 +320,7 @@ def main() -> int:
         for name, step, floor_mult in aux_rows:
             try:
                 t = device_seconds_per_call(
-                    step, dbatch, k_lo=8, k_hi=104,
+                    step, dbatch, k_lo=8, k_hi=232,
                     floor_bytes=floor_mult * npix_batch,
                 )
                 aux_samples[name].append(npix_batch / t / 1e6)
@@ -365,13 +371,13 @@ def main() -> int:
 
     def _sb_slope(body):
         times = {}
-        for k in (8, 104):
+        for k in (8, 232):
             f = _chained_sb(body, k)
             np.asarray(f(anchors, subbands).ravel()[:1])
             times[k] = min_time(
                 lambda: np.asarray(f(anchors, subbands).ravel()[:1])
             )
-        return (times[104] - times[8]) / 96
+        return (times[232] - times[8]) / 224
 
     sb_dec_rows = {
         "xla": lambda a, s: pyramid.decode_subbands(a, s, (H, W), LEVELS),
@@ -730,7 +736,7 @@ def main() -> int:
         for _ in range(5):
             for lv, (stp, engine) in sweep_steps.items():
                 t = device_seconds_per_call(
-                    stp, dik, k_lo=8, k_hi=40, floor_bytes=2 * hi * wi
+                    stp, dik, k_lo=8, k_hi=104, floor_bytes=2 * hi * wi
                 )
                 sweep_samples[lv].append(hi * wi / t / 1e6)
         for lv, (stp, engine) in sweep_steps.items():
@@ -764,7 +770,7 @@ def main() -> int:
         "config": {
             "w": W, "h": H, "batch": BATCH, "levels": LEVELS,
             "methodology": (
-                "chained fori_loop slope (K=8 vs 104); "
+                "chained fori_loop slope (K=8 vs 232); "
                 f"rows = median of {ENGINE_ROUNDS} interleaved rounds"
             ),
         },
