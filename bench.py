@@ -515,8 +515,16 @@ def main() -> int:
         e2e_speed()
         fast_blob = codec_m.write_fast(image)  # warm (compile + row est.)
         fast_blob = codec_m.write_fast(image)  # warm the estimated-guess jit
-        codec_m.write_fast_batch(batch)  # warm
-        codec_m.write_fast_batch(batch)
+        # The batched path keeps its own guard (r4 outage hardening): a
+        # transient failure here must not take down the entropy-stage
+        # and link-bandwidth rows below.
+        fastb_ok = True
+        try:
+            codec_m.write_fast_batch(batch)  # warm
+            codec_m.write_fast_batch(batch)
+        except Exception as e:
+            fastb_ok = False
+            log(f"batched fast path failed: {e}")
         ts_rans, ts_fast, ts_fastb = [], [], []
         for _ in range(5):
             t0 = time.perf_counter()
@@ -525,9 +533,10 @@ def main() -> int:
             t0 = time.perf_counter()
             codec_m.write_fast(image)
             ts_fast.append(time.perf_counter() - t0)
-            t0 = time.perf_counter()
-            codec_m.write_fast_batch(batch)
-            ts_fastb.append(time.perf_counter() - t0)
+            if fastb_ok:
+                t0 = time.perf_counter()
+                codec_m.write_fast_batch(batch)
+                ts_fastb.append(time.perf_counter() - t0)
         entropy_speed["e2e_rans_mpix_s"] = W * H / float(np.median(ts_rans)) / 1e6
         log(f"e2e speed path (device encode + threaded rANS): "
             f"{entropy_speed['e2e_rans_mpix_s']:.0f} MPix/s")
@@ -542,11 +551,12 @@ def main() -> int:
             f"{entropy_speed['e2e_fast_mpix_s']:.0f} MPix/s; payload "
             f"{len(fast_blob)} B = "
             f"{entropy_speed['rans_tpu_payload_vs_host_rans']:.3f}x host rANS")
-        entropy_speed["e2e_fast_batch_mpix_s"] = (
-            npix_batch / float(np.median(ts_fastb)) / 1e6
-        )
-        log(f"e2e fast path batched x{BATCH}: "
-            f"{entropy_speed['e2e_fast_batch_mpix_s']:.0f} MPix/s")
+        if ts_fastb:
+            entropy_speed["e2e_fast_batch_mpix_s"] = (
+                npix_batch / float(np.median(ts_fastb)) / 1e6
+            )
+            log(f"e2e fast path batched x{BATCH}: "
+                f"{entropy_speed['e2e_fast_batch_mpix_s']:.0f} MPix/s")
 
         # -- e2e decomposition (VERDICT r4 #5): the tunnel's D2H swings
         # 2-4x between rounds, so the wall rows above are incomparable
@@ -577,8 +587,11 @@ def main() -> int:
                 )
                 return v ^ (acc & 255).astype(jnp.uint8)
 
+            # ~6 ms/call (device rANS dominates): k span 8..40 puts
+            # ~190 ms between timed points — ample vs RTT jitter while
+            # keeping the K_hi chain under a second.
             t_dev_fast = device_seconds_per_call(
-                _fast_dev_step, jnp.asarray(image), k_lo=4, k_hi=16,
+                _fast_dev_step, jnp.asarray(image), k_lo=8, k_hi=40,
                 floor_bytes=2 * n_pix,
             )
             decomp["e2e_fast"] = {
@@ -596,7 +609,7 @@ def main() -> int:
                 return g ^ r
 
             t_dev_enc = device_seconds_per_call(
-                _enc_step, jnp.asarray(image), k_lo=8, k_hi=40,
+                _enc_step, jnp.asarray(image), k_lo=8, k_hi=232,
                 floor_bytes=2 * n_pix,
             )
             grid_bytes = np.asarray(codec_m.encode_plane(image)[0]).tobytes()
@@ -625,6 +638,8 @@ def main() -> int:
                 )
                 return v ^ (acc & 255).astype(jnp.uint8)
 
+            # ~60 ms/call batched: 12 iterations already span ~0.7 s
+            # (far above jitter); K=40 chains would run multi-second.
             t_dev_fastb = device_seconds_per_call(
                 _fastb_dev_step, dbatch, k_lo=4, k_hi=16,
                 floor_bytes=2 * npix_batch,

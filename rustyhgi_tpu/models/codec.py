@@ -6,11 +6,12 @@ JAX way: a codec instance is a bundle of jit-compiled, shape-specialized
 device functions (compute path) plus host-side container/entropy stages
 (rustyhgi_tpu.utils.container).
 
-Device compute is delegated to :mod:`rustyhgi_tpu.ops.pyramid` (XLA); the
-Pallas bit-pack stage in :mod:`rustyhgi_tpu.ops.pallas_kernels` backs the
-container's fast mode.  Compiled executables are cached per input shape;
-first call per shape pays XLA compile time, subsequent calls are pure
-device execution.
+Device compute routes through three bit-identical engines by speed
+policy (see :meth:`HGICodec._engine`): :mod:`rustyhgi_tpu.ops.planar`
+(production on TPU), :mod:`rustyhgi_tpu.ops.pallas_codec` (fused
+kernel), and :mod:`rustyhgi_tpu.ops.pyramid` (dyadic XLA fallback).
+Compiled executables are cached per input shape; first call per shape
+pays XLA compile time, subsequent calls are pure device execution.
 """
 
 from __future__ import annotations
@@ -92,10 +93,11 @@ class HGICodec:
         All engines are bit-identical to the oracle, so this is pure
         speed policy.  ``auto`` on TPU prefers the planar-XLA engine
         (ops.planar — the kernel's planar dataflow as one whole-canvas
-        jit; measured 72.7 vs the kernel's 52.7 GPix/s on the 1080p x8
-        headline, chip_probe xlaplanar), then the fused Pallas kernel,
-        then the dyadic XLA path.  Off-TPU auto keeps the dyadic XLA
-        path (CPU fusion favors it); explicit backends force.
+        jit; BENCH_DETAILS r5: 82.7 GPix/s subband median vs the
+        kernel's 53.5 on the 1080p x8 headline), then the fused Pallas
+        kernel, then the dyadic XLA path.  Off-TPU auto keeps the
+        dyadic XLA path (CPU fusion favors it); explicit backends
+        force.
         """
         quant = self._quantize_fn() if need_quantize else None
         h, w = shape
@@ -127,9 +129,6 @@ class HGICodec:
         if pallas_codec.supported(self.levels, h, w, quant, self.predictor):
             return "pallas"
         return "xla"
-
-    def _use_pallas(self, shape: Tuple[int, int], need_quantize: bool) -> bool:
-        return self._engine(shape, need_quantize) == "pallas"
 
     def _quantize_fn(self):
         return quantize_fn(self.quantization, self.quantizer)

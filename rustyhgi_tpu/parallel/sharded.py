@@ -356,9 +356,9 @@ def decode_subbands_batch_sharded(
 ):
     """Subband-direct decode of a sharded batch: -> [B, H, W] planes.
 
-    On TPU meshes this routes the subband-direct Pallas path (repack
-    kernel + fused grid decode, ops.pallas_codec.decode_subbands_pallas)
-    per device shard; the XLA engine serves elsewhere.
+    Engine per :func:`_sub_engine_for`: the planar-XLA subband-direct
+    decode on every backend; the Pallas repack+decode path only via
+    ``force_pallas=True``; the dyadic XLA path outside both envelopes.
     """
     if mesh is None:
         mesh = make_mesh()

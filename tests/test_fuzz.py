@@ -41,3 +41,16 @@ def test_fuzz_roundtrip_vs_oracle(trial):
     assert np.array_equal(np.asarray(recon), decoded), ctx
     err = np.abs(image.astype(np.int32) - decoded.astype(np.int32))
     assert err.max() <= linear_error(quant), ctx
+
+    # Planar engine (the TPU production route; on CPU it compiles the
+    # same XLA graph) — same trial must be bit-identical too.
+    from rustyhgi_tpu.ops import planar
+    from rustyhgi_tpu.ops.quantizers import quantize_fn
+
+    if planar.supported_planar(levels, h, w, quantize_fn(quant), predictor):
+        g2, r2 = planar.encode_plane_planar(
+            image, levels, quantize_fn(quant), predictor
+        )
+        assert np.array_equal(np.asarray(g2), want), ctx
+        d2 = planar.decode_plane_planar(want, levels, predictor)
+        assert np.array_equal(np.asarray(d2), decoded), ctx

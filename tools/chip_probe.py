@@ -296,7 +296,7 @@ def cmd_sbreduce():
 
     def full(v):
         a, s, _ = pc.encode_subbands_pallas(v, L, ql, "crossed",
-                                            want_recon=False)
+                                            want_recon=False, coalesce=True)
         acc = jnp.sum(a, dtype=jnp.int32)
         for quads in s:
             for q in quads:
@@ -305,7 +305,7 @@ def cmd_sbreduce():
 
     def tap(v):
         a, s, _ = pc.encode_subbands_pallas(v, L, ql, "crossed",
-                                            want_recon=False)
+                                            want_recon=False, coalesce=True)
         acc = a[0, 0, 0].astype(jnp.int32)
         for quads in s:
             for q in quads:
@@ -464,10 +464,12 @@ def cmd_rollvar():
 def cmd_sharded():
     """Drive the distributed tier on the real chip (1-device mesh).
 
-    Validates that encode_batch_sharded/decode_batch_sharded route
-    through the fused Pallas kernel on TPU (sharded._use_pallas_engine)
-    with oracle-exact bytes, and measures the sharded-path throughput
-    vs the direct kernel call.
+    Validates both TPU routes of encode/decode_batch_sharded with
+    oracle-exact bytes: the default (planar engine) AND the
+    force_pallas route — the compiled-Mosaic-inside-shard_map
+    combination whose check_vma=True behavior the _check_vma docstring
+    cites this probe for.  Then measures sharded-path throughput vs the
+    direct kernel call.
     """
     from rustyhgi_tpu.parallel.mesh import make_mesh
     from rustyhgi_tpu.parallel import sharded
@@ -477,19 +479,23 @@ def cmd_sharded():
     q = QuantizationLevel.LOSSLESS
     ql = quantize_fn(q)
     imgs = RNG.integers(0, 256, (N, H, W), np.uint8)
-    assert sharded._use_pallas_engine(L, H, W, ql, "crossed"), (
-        "sharded tier did not choose the Pallas engine on TPU"
-    )
-    grids, recons, hist = sharded.encode_batch_sharded(
-        imgs, L, q, mesh=mesh, with_histogram=True
+    assert sharded._engine_for(L, H, W, ql, "crossed") == "planar", (
+        "sharded tier did not choose the planar engine on TPU"
     )
     g0 = oracle_encode(imgs[0], L, q)
-    ok = np.array_equal(np.asarray(grids)[0], g0)
-    dec = sharded.decode_batch_sharded(np.asarray(grids), L, mesh=mesh)
-    d_ok = np.array_equal(np.asarray(dec), imgs)
-    print(f"sharded(pallas) bytes vs oracle: {'OK' if ok else 'FAIL'}; "
-          f"decode roundtrip: {'OK' if d_ok else 'FAIL'}; "
-          f"hist sum {int(np.asarray(hist).sum())} == {imgs.size}")
+    for force in (False, True):
+        label = "pallas" if force else "planar"
+        grids, recons, hist = sharded.encode_batch_sharded(
+            imgs, L, q, mesh=mesh, with_histogram=True, force_pallas=force
+        )
+        ok = np.array_equal(np.asarray(grids)[0], g0)
+        dec = sharded.decode_batch_sharded(
+            np.asarray(grids), L, mesh=mesh, force_pallas=force
+        )
+        d_ok = np.array_equal(np.asarray(dec), imgs)
+        print(f"sharded({label}) bytes vs oracle: {'OK' if ok else 'FAIL'}; "
+              f"decode roundtrip: {'OK' if d_ok else 'FAIL'}; "
+              f"hist sum {int(np.asarray(hist).sum())} == {imgs.size}")
 
     x = jnp.asarray(imgs)
     pix = imgs.size
