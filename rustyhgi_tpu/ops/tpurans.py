@@ -99,7 +99,7 @@ def _histogram(sym: jnp.ndarray) -> jnp.ndarray:
     def step(acc, rows):
         return acc + (rows[..., None] == iota).sum((0, 1), dtype=_I32), None
 
-    counts, _ = lax.scan(step, jnp.zeros(256, _I32), blocks)
+    counts, _ = lax.scan(step, jnp.zeros(256, _I32), blocks, unroll=4)
     return counts
 
 
@@ -208,7 +208,11 @@ def encode_device(flat: jnp.ndarray):
         return x, (word, emit)
 
     x0 = jnp.full((L,), _STATE_L, _U32)
-    states, (words, emits) = lax.scan(step, x0, (fs_r, cs_r))
+    # unroll: the per-step body is two vregs of elementwise work, so the
+    # T (~1000-row) scan is loop-overhead-bound; unrolling batches 8
+    # symbol rows per loop iteration with IDENTICAL outputs (pure jax
+    # scan semantics — the stream bytes cannot change).
+    states, (words, emits) = lax.scan(step, x0, (fs_r, cs_r), unroll=8)
 
     counts = emits.sum(0, dtype=_I32)
     # Global compaction straight into the STORED byte order: lane-major,
@@ -218,7 +222,12 @@ def encode_device(flat: jnp.ndarray):
     t_iota = lax.broadcasted_iota(_I32, (T, L), 0)
     l_iota = lax.broadcasted_iota(_I32, (T, L), 1)
     key = jnp.where(emits, l_iota * T + (T - 1 - t_iota), T * L)
-    _, stream = lax.sort_key_val(key.reshape(-1), words.reshape(-1))
+    # Keys are unique per slot, so an unstable sort produces identical
+    # bytes; stability costs extra comparator passes.  The sort is the
+    # stage's dominant cost (chip_probe ransparts: 3.8 of 5.8 ms).
+    _, stream = lax.sort_key_val(
+        key.reshape(-1), words.reshape(-1), is_stable=False
+    )
     return freq, counts, states, stream.reshape(T, L)
 
 

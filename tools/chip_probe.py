@@ -700,6 +700,67 @@ def cmd_sweep():
     return 0
 
 
+def cmd_ransparts():
+    """Cost attribution inside the device rANS stage (chained slopes).
+
+    The stage = exact histogram + table normalize + packed lookup +
+    lockstep scan + sort compaction; the unroll=8 scan change moved the
+    stage only 335 -> 354 MB/s, so the bottleneck is elsewhere.  Times
+    each piece on the production 1080p medium-residual input.
+    """
+    from rustyhgi_tpu.models.codec import HGICodec
+    from rustyhgi_tpu.ops import tpurans as tr
+
+    print("device:", jax.devices()[0])
+    img = np.asarray(_batch()[0])
+    codec = HGICodec(4, "medium")
+    flat = codec.encode_plane(img)[0].reshape(-1)
+    n = flat.shape[0]
+    Lw = tr.lanes_for(n)
+    T = -(-n // Lw)
+    floor = 2 * n
+
+    def as_syms(v):
+        padded = jnp.pad(v, (0, T * Lw - n), constant_values=0)
+        return padded.reshape(T, Lw).astype(tr._I32)
+
+    def hist_step(v):
+        sym = as_syms(v)
+        h = tr._histogram(sym)
+        return v ^ (h.sum() & 255).astype(jnp.uint8)
+
+    def norm_lookup_step(v):
+        sym = as_syms(v)
+        freq = tr._normalize_device(tr._histogram(sym))
+        cum = jnp.concatenate([jnp.zeros(1, tr._I32), jnp.cumsum(freq)[:-1]])
+        fc = tr._lookup_packed(sym, (freq << 16) | cum)
+        return v ^ (fc.sum() & 255).astype(jnp.uint8)
+
+    def full_step(v):
+        freq, counts, states, stream = tr.encode_device(v)
+        acc = (counts.sum() + states.astype(jnp.int32).sum() + freq.sum()
+               + stream.astype(jnp.int32).sum())
+        return v ^ (acc & 255).astype(jnp.uint8)
+
+    def sort_step(v):
+        # the compaction sort alone on same-size data
+        sym = as_syms(v)
+        key = sym.reshape(-1) * 7 + 1
+        _, s = lax.sort_key_val(key, sym.reshape(-1).astype(tr._U16),
+                                is_stable=False)
+        return v ^ (s.astype(jnp.int32).sum() & 255).astype(jnp.uint8)
+
+    for name, stp in (("histogram", hist_step),
+                      ("norm+lookup", norm_lookup_step),
+                      ("sort(T*L)", sort_step),
+                      ("full stage", full_step)):
+        t = device_seconds_per_call(stp, flat, k_lo=4, k_hi=16,
+                                    floor_bytes=floor)
+        print(f"{name:12s} {t * 1e3:7.2f} ms  {n / t / 1e6:6.0f} MB/s",
+              flush=True)
+    return 0
+
+
 def cmd_rans():
     from rustyhgi_tpu.models.codec import HGICodec
     from rustyhgi_tpu.ops import tpurans
@@ -748,4 +809,5 @@ if __name__ == "__main__":
               "engines": cmd_engines, "sbreduce": cmd_sbreduce,
               "kpairs": cmd_kpairs, "rollvar": cmd_rollvar,
               "xlaplanar": cmd_xlaplanar,
-              "vpucal": cmd_vpucal, "sharded": cmd_sharded}[cmd]())
+              "vpucal": cmd_vpucal, "sharded": cmd_sharded,
+              "ransparts": cmd_ransparts}[cmd]())
