@@ -274,6 +274,38 @@ def cmd_xlaplanar():
     return 0
 
 
+def cmd_planarbatch():
+    """Planar-engine throughput vs batch size (serving-config sweep).
+
+    BATCH=8 was tuned for the Pallas kernel (HBM-resident temps); the
+    planar engine's whole-canvas XLA graphs have a different working
+    set, so re-measure the sweet spot.
+    """
+    from rustyhgi_tpu.ops import planar as pl_eng
+
+    print("device:", jax.devices()[0])
+    ql = quantize_fn(QuantizationLevel.LOSSLESS)
+    for b in (2, 4, 8, 16, 32):
+        x = jnp.asarray(RNG.integers(0, 256, (b, H, W), np.uint8))
+        pix = b * H * W
+
+        def sb(v):
+            a, s, _ = pl_eng.encode_subbands_planar(
+                v, L, ql, "crossed", want_recon=False)
+            acc = jnp.sum(a, dtype=jnp.int32)
+            for quads in s:
+                for q in quads:
+                    acc = acc + jnp.sum(q, dtype=jnp.int32)
+            return v ^ (acc & 255).astype(jnp.uint8)
+
+        k_hi = max(40, min(232, (232 * 8) // b))
+        t = device_seconds_per_call(sb, x, k_lo=8, k_hi=k_hi,
+                                    floor_bytes=2 * pix)
+        print(f"batch {b:3d}: {pix / t / 1e9:6.1f} GPix/s "
+              f"({t * 1e6:8.1f} us/call)", flush=True)
+    return 0
+
+
 def cmd_sbreduce():
     """Is the subband row's spread/tie the KERNEL or the liveness wrapper?
 
@@ -810,4 +842,5 @@ if __name__ == "__main__":
               "kpairs": cmd_kpairs, "rollvar": cmd_rollvar,
               "xlaplanar": cmd_xlaplanar,
               "vpucal": cmd_vpucal, "sharded": cmd_sharded,
-              "ransparts": cmd_ransparts}[cmd]())
+              "ransparts": cmd_ransparts,
+              "planarbatch": cmd_planarbatch}[cmd]())
