@@ -66,6 +66,40 @@ def supported_planar(levels: int, h: int, w: int, quantize, predictor) -> bool:
     return bool(getattr(quantize, "identity", False))
 
 
+# Batch planes processed per fused chunk.  Measured on v5e
+# (chip_probe planarbatch, 1080p subband lossless): 84.8 GPix/s at
+# batch 8, collapsing to 33.3 at 16 and 27.4 at 32 — beyond ~8 planes
+# XLA spills the fused planar working set to HBM.  Larger batches run
+# as sequential 8-plane chunks inside the same jit (lax.map), keeping
+# peak throughput and one dispatch.
+_BATCH_CHUNK = 8
+
+
+def _batched(one, *args, n):
+    """vmap ``one`` over <= _BATCH_CHUNK planes; chunk-serial above."""
+    if n <= _BATCH_CHUNK:
+        return jax.vmap(one)(*args)
+    c = _BATCH_CHUNK
+    nb = cdiv(n, c)
+    pad = nb * c - n
+
+    def to_chunks(x):
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.zeros((pad, *x.shape[1:]), x.dtype)]
+            )
+        return x.reshape(nb, c, *x.shape[1:])
+
+    chunked = jax.tree.map(to_chunks, tuple(args))
+    out = lax.map(lambda a: jax.vmap(one)(*a), chunked)
+
+    def unchunk(x):
+        x = x.reshape(nb * c, *x.shape[2:])
+        return x[:n] if pad else x
+
+    return jax.tree.map(unchunk, out)
+
+
 def _canvas_words(image, hp, wp):
     """uint8 [H, W] -> zero-padded u32-word canvas [hp, wp//4]."""
     h, w = image.shape
@@ -102,7 +136,7 @@ def _encode_batch(image, levels, error, predictor, want_recon):
         )
         return grid, (grid if recon is None else recon)
 
-    gw, rw = jax.vmap(one)(image)
+    gw, rw = _batched(one, image, n=n)
     grid = pk._from_words(gw, h, w)
     if not want_recon:
         return grid, None
@@ -131,7 +165,7 @@ def _encode_sub_batch(image, levels, error, predictor, want_recon):
         )
         return outs, (outs[0] if recon is None else recon)
 
-    outs, rw = jax.vmap(one)(image)
+    outs, rw = _batched(one, image, n=n)
 
     def to_bytes(x, kind):
         if kind == "vals":
@@ -166,7 +200,7 @@ def _decode_batch(grid, levels, predictor):
             gw, levels, tree, pk._Masks(h, w, hp, wp, 0), hp
         )
 
-    return pk._from_words(jax.vmap(one)(grid), h, w)
+    return pk._from_words(_batched(one, grid, n=n), h, w)
 
 
 @partial(jax.jit, static_argnames=("levels", "predictor", "h", "w"))
@@ -197,7 +231,7 @@ def _decode_sub_batch(anchors, flat_quads, levels, predictor, h, w):
             gw, levels, tree, pk._Masks(h, w, hp, wp, 0), hp
         )
 
-    out = jax.vmap(one)(anchors, list(flat_quads))
+    out = _batched(one, anchors, list(flat_quads), n=anchors.shape[0])
     return pk._from_words(out, h, w)
 
 

@@ -71,6 +71,37 @@ def test_planar_batch_matches_per_plane(rng):
     assert np.array_equal(np.asarray(dec), np.asarray(recons))
 
 
+def test_planar_large_batch_chunked(rng):
+    """Batches above _BATCH_CHUNK run chunk-serial — bytes unchanged.
+
+    The chunking exists because XLA spills the fused planar working set
+    beyond ~8 planes (chip_probe planarbatch); 20 planes exercises the
+    pad-to-chunk-multiple path (20 -> 3 chunks of 8 with 4 pad planes).
+    """
+    import jax
+
+    imgs = rng.integers(0, 256, (20, 40, 48), dtype=np.uint8)
+    quant = quantize_fn(QuantizationLevel.MEDIUM)
+    grids, recons = planar.encode_plane_planar(imgs, 3, quant)
+    for i in range(20):
+        assert np.array_equal(
+            np.asarray(grids)[i],
+            oracle_encode(imgs[i], 3, QuantizationLevel.MEDIUM),
+        ), i
+    dec = planar.decode_plane_planar(np.asarray(grids), 3)
+    assert np.array_equal(np.asarray(dec), np.asarray(recons))
+    a, s, _ = planar.encode_subbands_planar(imgs, 3, quant)
+    a1, s1, _ = jax.vmap(
+        lambda im: pyramid.encode_subbands(im, 3, quant)
+    )(jax.numpy.asarray(imgs))
+    assert np.array_equal(np.asarray(a), np.asarray(a1))
+    for quads, quads_ref in zip(s, s1):
+        for q, q_ref in zip(quads, quads_ref):
+            assert np.array_equal(np.asarray(q), np.asarray(q_ref))
+    dsb = planar.decode_subbands_planar(a, s, (40, 48), 3)
+    assert np.array_equal(np.asarray(dsb), np.asarray(recons))
+
+
 def test_backend_planar_forced(rng):
     img = rng.integers(0, 256, (48, 64), dtype=np.uint8)
     codec = HGICodec(3, "medium", backend="planar")
