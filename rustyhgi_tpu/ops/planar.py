@@ -13,9 +13,9 @@ that same dataflow as ONE whole-canvas XLA jit instead of a pallas_call:
 
 * no tile halos — zero redundant compute (the kernel recomputes
   2^L..2^(L+1) rows per tile);
-* no Mosaic scheduling gap — measured 72.7 GPix/s median vs the Pallas
-  kernel's 52.7 on the 1080p x8 lossless headline (chip_probe
-  xlaplanar), bit-exact vs the oracle;
+* no Mosaic scheduling gap — BENCH_DETAILS r5: 87.0 GPix/s subband /
+  76.7 grid medians vs the Pallas kernel's 53.6 on the 1080p x8
+  lossless headline, bit-exact vs the oracle;
 * no width cap (the kernel's _MAX_WIDTH guards VMEM; XLA tiles HBM
   itself).
 
