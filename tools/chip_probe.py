@@ -3,18 +3,23 @@
 The ONLY scripts that may touch the real TPU are bench.py and this one
 (CLAUDE.md).  Subcommands:
 
-  validate   compiled-Mosaic correctness vs the oracle: grid + subband
-             emission + the padless ragged-height path
+  validate   compiled correctness vs the oracle across ALL engines:
+             Pallas grid/subband/sb-decode (incl. the hardware-only
+             unpadded branch) + the planar-XLA engine, padless ragged
   bench      kernel throughput rows (grid/subband x lossless/medium,
              decode), chained-slope methodology
   engines    interleaved repeat sampling of every complete-encode engine
              (median + spread; the bench.py methodology standalone)
+  xlaplanar  planar-XLA engine vs production engines (r5 discovery run)
+  planarbatch  planar throughput vs batch size (chunking calibration)
+  sbreduce   subband liveness-wrapper + coalesced-emission comparison
   kpairs     slope spread vs K-span (tunnel jitter diagnosis)
   sweep      tile_rows sweep of the lossless grid encode
   rollvar    jnp.roll vs pltpu.roll in the kernel shift helpers
-  vpucal     measured VPU int32 op rate (roofline calibration)
-  sharded    drive the distributed tier on the chip (Pallas routing)
+  vpucal     VPU op-rate calibration suite (roofline cross-checks)
+  sharded    drive the distributed tier on the chip (both engines)
   rans       device rANS stage MB/s + write_fast vs host-rANS e2e
+  ransparts  cost attribution inside the device rANS stage
 
 Usage: python tools/chip_probe.py [validate|bench|...] ...
 """
