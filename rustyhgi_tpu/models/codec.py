@@ -422,7 +422,7 @@ class HGICodec:
         max_rows = 0
         for i in range(b):
             freq_np, counts_np, states_np = unpack_meta(heads_np[i, :meta], L)
-            rows = min(T, int(counts_np.max()))
+            rows = min(T, -(-int(counts_np.sum()) // L))
             max_rows = max(max_rows, rows)
             if rows <= guess:
                 stream_np = heads_np[i, meta:]

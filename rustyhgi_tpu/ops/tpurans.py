@@ -19,15 +19,13 @@ word renorm, at most one emission per symbol):
   decodes, so the normalizer needs no host mirror;
 * per-symbol ``freq``/``cum`` are gathered for the WHOLE stream before
   the scan; the scan body is pure u32 arithmetic on [L] vectors;
-* emissions (<= 1 u16 per lane per step) land in a [T, L] buffer; a
-  PER-LANE ``lax.sort_key_val`` along T (key = within-lane decode
-  position) compacts each lane's words to its column prefix — the only
-  data-dependent move, a batched comparator network vectorized across
-  all lanes (measured ~5x cheaper than the global (T*L) sort it
-  replaced).  A host on a slow link fetches the first ``max(counts)``
-  rows (lane loads balance to within a few words, so the padding is
-  a few percent);
-* the host finalizer densifies (masked take, lane-major) + frames.
+* emissions (<= 1 u16 per lane per step) land in a [T, L] buffer; ONE
+  global ``lax.sort_key_val`` (key = final stream position: lane-major,
+  within-lane decode order) compacts every emitted word into the exact
+  stored byte order — the only data-dependent move, still fully
+  vectorized, and it means a host on a slow link fetches exactly
+  ``sum(counts)`` words, zero padding;
+* the host finalizer is pure framing: headers + one ``tobytes``.
 
 Encode runs identically compiled (TPU) and on CPU (tests).  The decoder
 is vectorized NumPy — lanes advance in lockstep, one Python step per
@@ -175,17 +173,19 @@ def encode_device(flat: jnp.ndarray):
     """Device rANS encode of a flat uint8 [n] stream (jit-composable).
 
     Returns ``(freq [256] i32, counts [L] i32, states [L] u32,
-    stream [T, L] u16)`` where COLUMN ``l``'s first ``counts[l]`` rows
-    are lane ``l``'s words in decode order (garbage beyond).  The
-    stored payload is the lane-major concatenation of those column
-    prefixes — :func:`finalize_stream` performs that dense packing on
-    the host.  (The packing used to be a device-side GLOBAL sort; a
-    per-lane sort along T is ~5x cheaper — batched bitonic, vectorized
-    across lanes — and the host-side compaction is a trivial masked
-    take on data it fetches anyway.)  Payload bytes are IDENTICAL to
-    the global-sort form: within-lane order is unchanged and the
-    concatenation is lane-major either way.
+    stream [T, L] u16)`` where ``stream.ravel()[:counts.sum()]`` is the
+    payload's word stream in its final stored order (garbage beyond).
     ``n`` must be a static shape <= :data:`MAX_SYMBOLS`.
+
+    Measured negative result (r5): compacting per-LANE instead (sort
+    along T only — ~5x cheaper on device, 846 vs 495 MB/s stage — with
+    the dense lane-major packing moved to the host) makes the prefix
+    FETCH size the max lane count instead of the mean; on structured
+    content the lanes imbalance >2x (the interleaved assignment
+    resonates with the image width), ballooning write_fast's transfer
+    934 KB -> 2.1 MB and REGRESSING the link-normalized e2e 150 -> 87
+    MPix/s at a 100 MB/s link.  write_fast exists for slow links, so
+    the dense global sort stays.
     """
     n = int(flat.shape[0])
     if n == 0:
@@ -228,18 +228,20 @@ def encode_device(flat: jnp.ndarray):
     states, (words, emits) = lax.scan(step, x0, (fs_r, cs_r), unroll=8)
 
     counts = emits.sum(0, dtype=_I32)
-    # Per-LANE compaction: sort each column by decode-order position so
-    # lane l's words occupy rows 0..counts[l].  Keys within a lane are
-    # unique for emitted slots (non-emitted share the sentinel T but
-    # are dropped), so an unstable sort is byte-safe.  A batched sort
-    # along T runs its comparator network elementwise across all L
-    # lanes at once — measured ~5x cheaper than the global (T*L)-element
-    # sort that used to produce the dense order on device
-    # (chip_probe ransparts).
+    # Global compaction straight into the STORED byte order: lane-major,
+    # within each lane the reverse of emission order (= decode order).
+    # One sort; the compacted words occupy stream[:sum(counts)] exactly,
+    # so a prefix fetch transfers zero padding.  Emitted keys are
+    # unique, so an unstable sort is byte-safe and skips the stability
+    # passes (stage 356 -> 495 MB/s measured).  See the docstring for
+    # why the cheaper per-lane sort was rejected.
     t_iota = lax.broadcasted_iota(_I32, (T, L), 0)
-    key = jnp.where(emits, T - 1 - t_iota, T)
-    _, stream = lax.sort_key_val(key, words, dimension=0, is_stable=False)
-    return freq, counts, states, stream
+    l_iota = lax.broadcasted_iota(_I32, (T, L), 1)
+    key = jnp.where(emits, l_iota * T + (T - 1 - t_iota), T * L)
+    _, stream = lax.sort_key_val(
+        key.reshape(-1), words.reshape(-1), is_stable=False
+    )
+    return freq, counts, states, stream.reshape(T, L)
 
 
 def meta_rows_for(L: int) -> int:
@@ -290,23 +292,17 @@ def finalize_stream(
 ) -> bytes:
     """Frame device outputs into the payload (host; pure framing).
 
-    ``stream`` is the device's per-lane-compacted [R, L] word buffer (or
-    any row prefix of it with ``R >= counts.max()``): column ``l``'s
-    first ``counts[l]`` rows are lane ``l``'s words in decode order.
-    The finalizer packs the columns densely (lane-major) — a vectorized
-    masked take — and frames the headers.
+    ``stream`` is the device's compacted word buffer (or any flattened
+    prefix of it covering ``counts.sum()`` words) — already in stored
+    order, so the finalizer is headers + one ``tobytes``.
     """
     freq = np.asarray(freq)
     counts = np.asarray(counts, dtype=np.int64)
     states = np.asarray(states, dtype=np.uint32)
-    words = np.asarray(stream, dtype=np.uint16)
-    if words.ndim == 1:
-        words = words.reshape(-1, counts.shape[0])
-    rows = words.shape[0]
-    if counts.size and rows < int(counts.max()):
+    words = np.asarray(stream, dtype=np.uint16).reshape(-1)
+    total = int(counts.sum())
+    if words.shape[0] < total:
         raise ValueError("stream prefix shorter than the word count")
-    mask = np.arange(rows)[None, :] < counts[:, None]  # [L, R]
-    dense = words.T[mask]  # lane-major concat of per-lane prefixes
     return b"".join(
         (
             int(n).to_bytes(4, "little"),
@@ -314,7 +310,7 @@ def finalize_stream(
             freq.astype("<u2").tobytes(),
             counts.astype("<u2").tobytes(),
             states.astype("<u4").tobytes(),
-            dense.astype("<u2").tobytes(),
+            words[:total].astype("<u2").tobytes(),
         )
     )
 
@@ -331,7 +327,8 @@ def encode_bytes(data: bytes) -> bytes:
         return (0).to_bytes(4, "little") + (0).to_bytes(4, "little")
     freq, counts, states, stream = jax.jit(encode_device)(flat)
     freq_np, counts_np, states_np = jax.device_get((freq, counts, states))
-    rows = min(int(stream.shape[0]), int(counts_np.max()))
+    L = counts_np.shape[0]
+    rows = min(int(stream.shape[0]), -(-int(counts_np.sum()) // L))
     return finalize_stream(
         len(data), freq_np, counts_np, states_np, np.asarray(stream[:rows])
     )

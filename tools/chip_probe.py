@@ -779,8 +779,10 @@ def cmd_ransparts():
                + stream.astype(jnp.int32).sum())
         return v ^ (acc & 255).astype(jnp.uint8)
 
-    def sort_step(v):
-        # the compaction sort alone on same-size data
+    def global_sort_step(v):
+        # REFERENCE row: the r4-style GLOBAL flat sort on same-size data
+        # (production now uses a per-lane sort along T inside full
+        # stage; this row shows what the global form would cost).
         sym = as_syms(v)
         key = sym.reshape(-1) * 7 + 1
         _, s = lax.sort_key_val(key, sym.reshape(-1).astype(tr._U16),
@@ -789,7 +791,7 @@ def cmd_ransparts():
 
     for name, stp in (("histogram", hist_step),
                       ("norm+lookup", norm_lookup_step),
-                      ("sort(T*L)", sort_step),
+                      ("globalsort(ref)", global_sort_step),
                       ("full stage", full_step)):
         t = device_seconds_per_call(stp, flat, k_lo=4, k_hi=16,
                                     floor_bytes=floor)
