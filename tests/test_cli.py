@@ -266,4 +266,9 @@ def test_encode_tiled_fast_flag_validation(tmp_path):
     assert main(["encode-tiled", "-i", str(src), "-o", str(out), "--tile",
                  "32", "--format", "thgi", "--fast",
                  "--shared-table"]) == 1
+    # Tiles beyond the device coder's exact-histogram envelope would
+    # silently fall back per-tile to the host entropy path inside
+    # write_fast_batch — --fast must reject them up front (ADVICE r4).
+    assert main(["encode-tiled", "-i", str(src), "-o", str(out), "--tile",
+                 "8192", "--format", "thgi", "--fast"]) == 1
     assert not out.exists()
