@@ -20,6 +20,7 @@ The ONLY scripts that may touch the real TPU are bench.py and this one
   sharded    drive the distributed tier on the chip (both engines)
   rans       device rANS stage MB/s + write_fast vs host-rANS e2e
   ransparts  cost attribution inside the device rANS stage
+  tiled      gigapixel encode-tiled --fast e2e on hardware (ikonos)
 
 Usage: python tools/chip_probe.py [validate|bench|...] ...
 """
@@ -800,6 +801,49 @@ def cmd_ransparts():
     return 0
 
 
+def cmd_tiled():
+    """Gigapixel tier end-to-end ON HARDWARE: encode-tiled --fast.
+
+    Drives the CLI surface (ikonos, 512x512 tiles, fused device entropy
+    per tile) on the real chip, decodes with decode-tiled, and checks
+    exact recovery + wall throughput.  The tier's pieces are unit-tested
+    on CPU; this is the composed path on the production backend.
+    """
+    import tempfile
+    import os
+
+    from rustyhgi_tpu.cli import main as cli_main
+    from rustyhgi_tpu.utils.imageio import load_luma
+
+    print("device:", jax.devices()[0])
+    src_img = "/root/reference/res/ikonos-barcelona-spain.jpg"
+    plane = load_luma(src_img)
+    with tempfile.TemporaryDirectory() as td:
+        out = os.path.join(td, "ik.thgit")
+        back = os.path.join(td, "ik.png")
+        t0 = time.perf_counter()
+        rc = cli_main([
+            "encode-tiled", "-i", src_img, "-o", out, "--tile", "512",
+            "-l", "4", "-q", "lossless", "--format", "thgi", "--fast",
+        ])
+        t_enc = time.perf_counter() - t0
+        assert rc == 0, rc
+        size = os.path.getsize(out)
+        t0 = time.perf_counter()
+        rc = cli_main(["decode-tiled", "-i", out, "-o", back])
+        t_dec = time.perf_counter() - t0
+        assert rc == 0, rc
+        dec = load_luma(back)
+    ok = np.array_equal(dec, plane)
+    mpix = plane.size / 1e6
+    print(f"lossless roundtrip: {'OK' if ok else 'FAIL'}; "
+          f"{mpix:.1f} MPix; archive {size} B "
+          f"({size / plane.size:.3f} B/pix)")
+    print(f"encode {t_enc:.1f} s ({mpix / t_enc:.1f} MPix/s wall incl. "
+          f"compile+link), decode {t_dec:.1f} s ({mpix / t_dec:.1f} MPix/s)")
+    return 0 if ok else 1
+
+
 def cmd_rans():
     from rustyhgi_tpu.models.codec import HGICodec
     from rustyhgi_tpu.ops import tpurans
@@ -850,4 +894,4 @@ if __name__ == "__main__":
               "xlaplanar": cmd_xlaplanar,
               "vpucal": cmd_vpucal, "sharded": cmd_sharded,
               "ransparts": cmd_ransparts,
-              "planarbatch": cmd_planarbatch}[cmd]())
+              "planarbatch": cmd_planarbatch, "tiled": cmd_tiled}[cmd]())
