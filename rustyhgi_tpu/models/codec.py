@@ -93,8 +93,8 @@ class HGICodec:
         All engines are bit-identical to the oracle, so this is pure
         speed policy.  ``auto`` on TPU prefers the planar-XLA engine
         (ops.planar — the kernel's planar dataflow as one whole-canvas
-        jit; BENCH_DETAILS r5: 87.0 GPix/s subband median vs the
-        kernel's 53.6 on the 1080p x8 headline), then the fused Pallas
+        jit; ~84-87 GPix/s subband medians vs the kernel's ~53-54
+        across r5 runs, BENCH_DETAILS.json), then the fused Pallas
         kernel, then the dyadic XLA path.  Off-TPU auto keeps the
         dyadic XLA path (CPU fusion favors it); explicit backends
         force.

@@ -13,9 +13,10 @@ that same dataflow as ONE whole-canvas XLA jit instead of a pallas_call:
 
 * no tile halos — zero redundant compute (the kernel recomputes
   2^L..2^(L+1) rows per tile);
-* no Mosaic scheduling gap — BENCH_DETAILS r5: 87.0 GPix/s subband /
-  76.7 grid medians vs the Pallas kernel's 53.6 on the 1080p x8
-  lossless headline, bit-exact vs the oracle;
+* no Mosaic scheduling gap — ~84-87 GPix/s subband / ~77-79 grid
+  medians vs the Pallas kernel's ~53-54 across r5 runs on the 1080p x8
+  lossless headline (exact per-run numbers: BENCH_DETAILS.json),
+  bit-exact vs the oracle;
 * no width cap (the kernel's _MAX_WIDTH guards VMEM; XLA tiles HBM
   itself).
 
@@ -76,28 +77,33 @@ _BATCH_CHUNK = 8
 
 
 def _batched(one, *args, n):
-    """vmap ``one`` over <= _BATCH_CHUNK planes; chunk-serial above."""
-    if n <= _BATCH_CHUNK:
-        return jax.vmap(one)(*args)
+    """vmap ``one`` over <= _BATCH_CHUNK planes; chunk-serial above.
+
+    Full chunks run under ``lax.map``; a partial remainder runs as its
+    own smaller vmap and is concatenated — padding it to a full chunk
+    would waste up to chunk-1 planes of full pyramid compute per call.
+    """
     c = _BATCH_CHUNK
-    nb = cdiv(n, c)
-    pad = nb * c - n
+    if n <= c:
+        return jax.vmap(one)(*args)
+    nfull = n // c
+    rem = n - nfull * c
 
-    def to_chunks(x):
-        if pad:
-            x = jnp.concatenate(
-                [x, jnp.zeros((pad, *x.shape[1:]), x.dtype)]
-            )
-        return x.reshape(nb, c, *x.shape[1:])
-
-    chunked = jax.tree.map(to_chunks, tuple(args))
-    out = lax.map(lambda a: jax.vmap(one)(*a), chunked)
-
-    def unchunk(x):
-        x = x.reshape(nb * c, *x.shape[2:])
-        return x[:n] if pad else x
-
-    return jax.tree.map(unchunk, out)
+    head = jax.tree.map(
+        lambda x: x[: nfull * c].reshape(nfull, c, *x.shape[1:]),
+        tuple(args),
+    )
+    out = lax.map(lambda a: jax.vmap(one)(*a), head)
+    out = jax.tree.map(
+        lambda x: x.reshape(nfull * c, *x.shape[2:]), out
+    )
+    if rem == 0:
+        return out
+    tail = jax.tree.map(lambda x: x[nfull * c:], tuple(args))
+    out_tail = jax.vmap(one)(*tail)
+    return jax.tree.map(
+        lambda a, b: jnp.concatenate([a, b]), out, out_tail
+    )
 
 
 def _canvas_words(image, hp, wp):

@@ -281,15 +281,24 @@ def cmd_xlaplanar():
 
 
 def cmd_planarbatch():
-    """Planar-engine throughput vs batch size (serving-config sweep).
+    """Planar-engine throughput vs batch size (chunk calibration sweep).
 
-    BATCH=8 was tuned for the Pallas kernel (HBM-resident temps); the
-    planar engine's whole-canvas XLA graphs have a different working
-    set, so re-measure the sweet spot.
+    Pass ``raw`` as the extra arg to disable the engine's internal
+    8-plane chunking and observe the UNCHUNKED batch response — the
+    measurement that calibrates planar._BATCH_CHUNK in the first place
+    (with chunking active, every b > 8 just measures the chunked fix).
     """
     from rustyhgi_tpu.ops import planar as pl_eng
 
     print("device:", jax.devices()[0])
+    raw = len(sys.argv) > 2 and sys.argv[2] == "raw"
+    saved = pl_eng._BATCH_CHUNK
+    if raw:
+        # _batched reads the module constant at trace time; clearing the
+        # jit caches forces a retrace under the override.
+        pl_eng._BATCH_CHUNK = 1 << 30
+        pl_eng._encode_sub_batch._clear_cache()
+        print("(raw mode: internal chunking disabled)")
     ql = quantize_fn(QuantizationLevel.LOSSLESS)
     for b in (2, 4, 8, 16, 32):
         x = jnp.asarray(RNG.integers(0, 256, (b, H, W), np.uint8))
@@ -309,6 +318,9 @@ def cmd_planarbatch():
                                     floor_bytes=2 * pix)
         print(f"batch {b:3d}: {pix / t / 1e9:6.1f} GPix/s "
               f"({t * 1e6:8.1f} us/call)", flush=True)
+    if raw:
+        pl_eng._BATCH_CHUNK = saved
+        pl_eng._encode_sub_batch._clear_cache()
     return 0
 
 
@@ -781,9 +793,9 @@ def cmd_ransparts():
         return v ^ (acc & 255).astype(jnp.uint8)
 
     def global_sort_step(v):
-        # REFERENCE row: the r4-style GLOBAL flat sort on same-size data
-        # (production now uses a per-lane sort along T inside full
-        # stage; this row shows what the global form would cost).
+        # The GLOBAL flat sort on same-size data — the form production
+        # uses (the cheaper per-lane sort was tried and reverted: it
+        # inflates the prefix fetch; see encode_device's docstring).
         sym = as_syms(v)
         key = sym.reshape(-1) * 7 + 1
         _, s = lax.sort_key_val(key, sym.reshape(-1).astype(tr._U16),
