@@ -145,6 +145,20 @@ def test_pallas_subband_coalesced_form_still_bit_exact(rng):
             assert np.array_equal(np.asarray(q), np.asarray(q_ref))
 
 
+def test_planar_large_plane_matches_xla_engine(rng):
+    """A ~2 MPix single plane (beyond oracle-speed territory): the
+    planar engine must match the independently-trusted XLA engine
+    byte-for-byte on grid, recon, and decode."""
+    img = rng.integers(0, 256, (1024, 2048), dtype=np.uint8)
+    quant = quantize_fn(QuantizationLevel.MEDIUM)
+    g1, r1 = planar.encode_plane_planar(img, 5, quant)
+    g2, r2 = pyramid.encode_plane(img, 5, quant)
+    assert np.array_equal(np.asarray(g1), np.asarray(g2))
+    assert np.array_equal(np.asarray(r1), np.asarray(r2))
+    d1 = planar.decode_plane_planar(np.asarray(g1), 5)
+    assert np.array_equal(np.asarray(d1), np.asarray(r2))
+
+
 def test_planar_supported_has_no_width_cap():
     # The Pallas kernel caps canvas width (VMEM); planar must not.
     from rustyhgi_tpu.ops import pallas_codec
