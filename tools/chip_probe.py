@@ -63,6 +63,7 @@ def cmd_validate():
         ((1080, 1920), 4, QuantizationLevel.LOSSLESS, "crossed"),
         ((1080, 1920), 4, QuantizationLevel.MEDIUM, "crossed"),
         ((517, 1024), 3, QuantizationLevel.LOSSLESS, "crossed"),  # padless ragged h
+        ((300, 500), 4, QuantizationLevel.MEDIUM, "crossed"),  # ragged h AND w
         ((256, 384), 5, QuantizationLevel.HIGH, "left_top"),
     ]:
         img = RNG.integers(0, 256, (h, w), np.uint8)
