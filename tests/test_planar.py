@@ -159,6 +159,28 @@ def test_planar_large_plane_matches_xla_engine(rng):
     assert np.array_equal(np.asarray(d1), np.asarray(r2))
 
 
+def test_planar_engine_exports_and_reloads(rng):
+    """jax.export round-trip of the production (planar) encoder.
+
+    Serving ships serialized StableHLO artifacts (HGICodec.export_*);
+    the planar graph (incl. its lax.map batch chunking) must survive
+    serialize -> deserialize -> call with identical bytes.
+    """
+    from rustyhgi_tpu.models.codec import load_exported
+
+    img = rng.integers(0, 256, (48, 64), dtype=np.uint8)
+    codec = HGICodec(3, "medium", backend="planar")
+    blob = codec.export_encoder(img.shape)
+    fn = load_exported(blob)
+    grid, recon = fn(img)
+    assert np.array_equal(
+        np.asarray(grid), oracle_encode(img, 3, QuantizationLevel.MEDIUM)
+    )
+    dec_blob = codec.export_decoder(img.shape)
+    dec = load_exported(dec_blob)(np.asarray(grid))
+    assert np.array_equal(np.asarray(dec), np.asarray(recon))
+
+
 def test_planar_supported_has_no_width_cap():
     # The Pallas kernel caps canvas width (VMEM); planar must not.
     from rustyhgi_tpu.ops import pallas_codec
