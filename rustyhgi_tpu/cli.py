@@ -4,7 +4,8 @@ Mirrors the reference CLI surface (reference: src/options.rs:13-65,
 src/main.rs:41-128): ``encode``/``decode``/``test`` subcommands with
 ``-i/-o/-l/-q/-s`` flags, same defaults (level=4, quantizator=medium,
 case-insensitive), plus TPU-framework extras: ``--format hgi|thgi``,
-``--backend jax|oracle|native``, and a ``bench`` subcommand.
+``--backend jax|oracle|native``, ``--engine auto|planar|pallas|xla``
+(force a device engine; all bit-identical), and a ``bench`` subcommand.
 
 Usage::
 
@@ -44,6 +45,13 @@ def _add_encoding_options(p: argparse.ArgumentParser) -> None:
         help="compute backend (jax = TPU/XLA path)",
     )
     p.add_argument(
+        "--engine",
+        choices=("auto", "planar", "pallas", "xla"),
+        default="auto",
+        help="jax backend only: force a device engine (auto routes the "
+        "fastest supported one; all engines are bit-identical)",
+    )
+    p.add_argument(
         "--format",
         choices=("hgi", "thgi"),
         default="hgi",
@@ -73,11 +81,11 @@ def _add_encoding_options(p: argparse.ArgumentParser) -> None:
 
 def _make_grid(
     image: np.ndarray, levels: int, quant, backend: str,
-    predictor: str = "crossed",
+    predictor: str = "crossed", engine: str = "auto",
 ):
     if backend == "jax":
         grid, _ = HGICodec(
-            levels, quant, predictor=predictor
+            levels, quant, predictor=predictor, backend=engine
         ).encode_plane(image)
         return np.asarray(grid)
     if backend == "oracle":
@@ -96,11 +104,14 @@ def _make_grid(
 
 
 def _decode_grid(
-    grid: np.ndarray, levels: int, backend: str, predictor: str = "crossed"
+    grid: np.ndarray, levels: int, backend: str, predictor: str = "crossed",
+    engine: str = "auto",
 ) -> np.ndarray:
     if backend == "jax":
         return np.asarray(
-            HGICodec(levels, predictor=predictor).decode_plane(grid)
+            HGICodec(
+                levels, predictor=predictor, backend=engine
+            ).decode_plane(grid)
         )
     if backend == "oracle":
         from .oracle import oracle_decode
@@ -137,7 +148,10 @@ def cmd_encode(args) -> int:
             f.write(blob)
         return 0
     image = load_luma(args.input)
-    codec = HGICodec(args.level, quant, predictor=args.predictor)
+    engine = getattr(args, "engine", "auto")
+    codec = HGICodec(
+        args.level, quant, predictor=args.predictor, backend=engine
+    )
     if args.format == "thgi" and args.fast and args.backend == "jax":
         # One fused device program (Pallas encode + device rANS); only
         # entropy-CODED bytes cross the host<->device link.
@@ -145,7 +159,8 @@ def cmd_encode(args) -> int:
             f.write(codec.write_fast(image))
         return 0
     grid = _make_grid(
-        image, args.level, quant, args.backend, predictor=args.predictor
+        image, args.level, quant, args.backend, predictor=args.predictor,
+        engine=engine,
     )
     archive = Archive(codec.metadata_for(*image.shape), grid)
     with open(args.output, "wb") as f:
@@ -223,11 +238,16 @@ def cmd_test(args) -> int:
     # Mirrors main.rs:73-120: roundtrip, print metrics, write .png + archive.
     quant = QuantizationLevel.parse(args.quantizator)
     image = load_luma(args.input)
+    engine = getattr(args, "engine", "auto")
     codec = HGICodec(args.level, quant, predictor=args.predictor)
     grid = _make_grid(
-        image, args.level, quant, args.backend, predictor=args.predictor
+        image, args.level, quant, args.backend, predictor=args.predictor,
+        engine=engine,
     )
-    decoded = _decode_grid(grid, args.level, args.backend, predictor=args.predictor)
+    decoded = _decode_grid(
+        grid, args.level, args.backend, predictor=args.predictor,
+        engine=engine,
+    )
     archive = Archive(codec.metadata_for(*image.shape), grid)
     blob = write_archive(archive, args.format)
 

@@ -248,6 +248,31 @@ def test_encode_tiled_fast_roundtrips(tmp_path):
     assert blocks[0] == codec.write_fast(tiles[0])
 
 
+def test_cli_engine_flag(tmp_path):
+    """--engine planar/xla produce byte-identical archives; bad envelope
+    errors loudly."""
+    import numpy as np
+    from PIL import Image
+
+    from rustyhgi_tpu.cli import main
+
+    rng = np.random.default_rng(5)
+    src = tmp_path / "in.png"
+    Image.fromarray(
+        rng.integers(0, 256, (48, 64), np.uint8), mode="L"
+    ).save(src)
+    blobs = {}
+    for eng in ("auto", "planar", "xla"):
+        out = tmp_path / f"{eng}.hgi"
+        assert main(["encode", "-i", str(src), "-o", str(out),
+                     "-l", "3", "-q", "medium", "--engine", eng]) == 0
+        blobs[eng] = out.read_bytes()
+    assert blobs["auto"] == blobs["planar"] == blobs["xla"]
+    # planar does not cover levels < 2: loud error, no silent fallback.
+    assert main(["encode", "-i", str(src), "-o", str(tmp_path / "x.hgi"),
+                 "-l", "1", "-q", "medium", "--engine", "planar"]) == 1
+
+
 def test_encode_tiled_fast_flag_validation(tmp_path):
     """--fast must error loudly with incompatible modes, never silently
     degrade to the host entropy path."""
