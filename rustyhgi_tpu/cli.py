@@ -374,7 +374,10 @@ def cmd_encode_tiled(args) -> int:
             mode = "ab"
             print(f"resuming at block {start}/{n_tiles}", file=_sys.stderr)
 
-    codec = HGICodec(args.level, quant, predictor=args.predictor)
+    engine = getattr(args, "engine", "auto")
+    codec = HGICodec(
+        args.level, quant, predictor=args.predictor, backend=engine
+    )
     fast = getattr(args, "fast", False)
     if fast and (args.format != "thgi" or shared):
         # Never silently degrade an explicit fast request to the host
@@ -422,7 +425,7 @@ def cmd_encode_tiled(args) -> int:
         try:
             grids, _, _ = encode_batch_sharded(
                 padded, args.level, quant, mesh=mesh,
-                predictor=args.predictor,
+                predictor=args.predictor, engine=engine,
             )
             grids_host = np.asarray(grids)[: remaining.shape[0]]
             break

@@ -68,7 +68,8 @@ def _cache_put(key, fn):
     return fn
 
 
-def _engine_for(levels, h, w, quant, predictor, force_pallas=False) -> str:
+def _engine_for(levels, h, w, quant, predictor, force_pallas=False,
+                engine="auto") -> str:
     """Per-shard engine: "planar" | "pallas" | "xla" (HGICodec policy).
 
     All engines are oracle-bit-exact, so mesh-shape byte-invariance is
@@ -79,9 +80,26 @@ def _engine_for(levels, h, w, quant, predictor, force_pallas=False) -> str:
     directly.  The fused Pallas kernel remains reachable on TPU meshes
     via HGICodec parity and with ``force_pallas=True`` (tests run it in
     interpret mode over the virtual mesh — VERDICT r4 #3).
+
+    ``engine`` != "auto" is an explicit user override (CLI --engine):
+    it validates coverage and raises rather than silently falling back.
     """
     from ..ops import pallas_codec, planar
 
+    if engine != "auto":
+        ok = (
+            engine == "xla"
+            or (engine == "planar" and planar.supported_planar(
+                levels, h, w, quant, predictor))
+            or (engine == "pallas" and pallas_codec.supported(
+                levels, h, w, quant, predictor))
+        )
+        if not ok:
+            raise ValueError(
+                f"engine={engine!r} does not cover levels={levels}, "
+                f"shape=({h}, {w}), predictor={predictor!r}"
+            )
+        return engine
     if force_pallas and pallas_codec.supported(levels, h, w, quant, predictor):
         return "pallas"
     if not force_pallas and planar.supported_planar(
@@ -124,6 +142,7 @@ def encode_batch_sharded(
     with_histogram: bool = False,
     predictor: str = "crossed",
     force_pallas: bool = False,
+    engine: str = "auto",
 ):
     """Encode a [B, H, W] uint8 batch sharded over the mesh.
 
@@ -154,6 +173,7 @@ def encode_batch_sharded(
     key = (
         "enc", _mesh_key(mesh), images.shape,
         levels, int(quantization), with_histogram, predictor, force_pallas,
+        engine,
     )
     fn = _SHARD_CACHE.get(key)
     if fn is None:
@@ -163,7 +183,8 @@ def encode_batch_sharded(
         pred = predictor_fn(predictor)
         h, w = images.shape[-2:]
         engine = _engine_for(
-            levels, h, w, quant, predictor, force_pallas=force_pallas
+            levels, h, w, quant, predictor, force_pallas=force_pallas,
+            engine=engine,
         )
 
         def local_encode(imgs):
@@ -216,13 +237,17 @@ def decode_batch_sharded(
     mesh: Optional[Mesh] = None,
     predictor: str = "crossed",
     force_pallas: bool = False,
+    engine: str = "auto",
 ):
     """Decode a [B, H, W] uint8 residual-grid batch sharded over the mesh."""
     if mesh is None:
         mesh = make_mesh()
     grids = jnp.asarray(grids, jnp.uint8)
     spec = _batch_pspec()
-    key = ("dec", _mesh_key(mesh), grids.shape, levels, predictor, force_pallas)
+    key = (
+        "dec", _mesh_key(mesh), grids.shape, levels, predictor, force_pallas,
+        engine,
+    )
     fn = _SHARD_CACHE.get(key)
     if fn is None:
         from ..ops.predictors import predictor_fn
@@ -230,7 +255,8 @@ def decode_batch_sharded(
         pred = predictor_fn(predictor)
         h, w = grids.shape[-2:]
         engine = _engine_for(
-            levels, h, w, None, predictor, force_pallas=force_pallas
+            levels, h, w, None, predictor, force_pallas=force_pallas,
+            engine=engine,
         )
 
         def local_decode(gs):
