@@ -283,10 +283,25 @@ def decode_batch_sharded(
     return fn(grids)
 
 
-def _sub_engine_for(levels, h, w, quant, predictor, force_pallas=False) -> str:
+def _sub_engine_for(levels, h, w, quant, predictor, force_pallas=False,
+                    engine="auto") -> str:
     """Subband analogue of :func:`_engine_for` (kernel has a VMEM gate)."""
     from ..ops import pallas_codec, planar
 
+    if engine != "auto":
+        ok = (
+            engine == "xla"
+            or (engine == "planar" and planar.supported_planar(
+                levels, h, w, quant, predictor))
+            or (engine == "pallas" and pallas_codec.supported_subbands(
+                levels, h, w, quant, predictor))
+        )
+        if not ok:
+            raise ValueError(
+                f"engine={engine!r} does not cover levels={levels}, "
+                f"shape=({h}, {w}), predictor={predictor!r}"
+            )
+        return engine
     if force_pallas and pallas_codec.supported_subbands(
         levels, h, w, quant, predictor
     ):
@@ -311,6 +326,7 @@ def encode_subbands_batch_sharded(
     mesh: Optional[Mesh] = None,
     predictor: str = "crossed",
     force_pallas: bool = False,
+    engine: str = "auto",
 ):
     """Subband-layout encode of a [B, H, W] batch sharded over the mesh.
 
@@ -326,7 +342,7 @@ def encode_subbands_batch_sharded(
     spec = _batch_pspec()
     key = (
         "encsb", _mesh_key(mesh), images.shape,
-        levels, int(quantization), predictor, force_pallas,
+        levels, int(quantization), predictor, force_pallas, engine,
     )
     fn = _SHARD_CACHE.get(key)
     if fn is None:
@@ -336,7 +352,8 @@ def encode_subbands_batch_sharded(
         pred = predictor_fn(predictor)
         h, w = images.shape[-2:]
         engine = _sub_engine_for(
-            levels, h, w, quant, predictor, force_pallas=force_pallas
+            levels, h, w, quant, predictor, force_pallas=force_pallas,
+            engine=engine,
         )
 
         def local(imgs):
@@ -379,6 +396,7 @@ def decode_subbands_batch_sharded(
     mesh: Optional[Mesh] = None,
     predictor: str = "crossed",
     force_pallas: bool = False,
+    engine: str = "auto",
 ):
     """Subband-direct decode of a sharded batch: -> [B, H, W] planes.
 
@@ -393,7 +411,7 @@ def decode_subbands_batch_sharded(
     spec = _batch_pspec()
     key = (
         "decsb", _mesh_key(mesh), anchors.shape, tuple(shape),
-        levels, predictor, force_pallas,
+        levels, predictor, force_pallas, engine,
     )
     fn = _SHARD_CACHE.get(key)
     if fn is None:
@@ -402,7 +420,8 @@ def decode_subbands_batch_sharded(
         pred = predictor_fn(predictor)
         h, w = tuple(shape)[-2:]
         engine = _sub_engine_for(
-            levels, h, w, None, predictor, force_pallas=force_pallas
+            levels, h, w, None, predictor, force_pallas=force_pallas,
+            engine=engine,
         )
 
         def local(a, s):
