@@ -142,7 +142,10 @@ def cmd_encode(args) -> int:
     if getattr(args, "color", False):
         from .utils.color import encode_color, load_rgb
 
-        codec = HGICodec(args.level, quant, predictor=args.predictor)
+        codec = HGICodec(
+            args.level, quant, predictor=args.predictor,
+            backend=getattr(args, "engine", "auto"),
+        )
         blob = encode_color(codec, load_rgb(args.input), fmt=args.format)
         with open(args.output, "wb") as f:
             f.write(blob)
@@ -375,6 +378,14 @@ def cmd_encode_tiled(args) -> int:
             print(f"resuming at block {start}/{n_tiles}", file=_sys.stderr)
 
     engine = getattr(args, "engine", "auto")
+    if engine != "auto":
+        # Fail fast on coverage: the sharded retry tier below retries
+        # transient device errors, and a config error never succeeds.
+        from .ops.quantizers import quantize_fn as _qfn
+        from .parallel.sharded import _engine_for as _ef
+
+        _ef(args.level, args.tile, args.tile, _qfn(quant), args.predictor,
+            engine=engine)
     codec = HGICodec(
         args.level, quant, predictor=args.predictor, backend=engine
     )

@@ -68,6 +68,18 @@ def _cache_put(key, fn):
     return fn
 
 
+def _check_override(engine, supported, levels, h, w, quant, predictor):
+    """Validate an explicit engine override — raise, never fall back."""
+    ok = engine == "xla" or supported(levels, h, w, quant, predictor)
+    if not ok:
+        raise ValueError(
+            f"engine={engine!r} does not cover levels={levels}, "
+            f"shape=({h}, {w}), quantizer={quant!r}, "
+            f"predictor={predictor!r}"
+        )
+    return engine
+
+
 def _engine_for(levels, h, w, quant, predictor, force_pallas=False,
                 engine="auto") -> str:
     """Per-shard engine: "planar" | "pallas" | "xla" (HGICodec policy).
@@ -87,19 +99,13 @@ def _engine_for(levels, h, w, quant, predictor, force_pallas=False,
     from ..ops import pallas_codec, planar
 
     if engine != "auto":
-        ok = (
-            engine == "xla"
-            or (engine == "planar" and planar.supported_planar(
-                levels, h, w, quant, predictor))
-            or (engine == "pallas" and pallas_codec.supported(
-                levels, h, w, quant, predictor))
+        supported = (
+            planar.supported_planar if engine == "planar"
+            else pallas_codec.supported
         )
-        if not ok:
-            raise ValueError(
-                f"engine={engine!r} does not cover levels={levels}, "
-                f"shape=({h}, {w}), predictor={predictor!r}"
-            )
-        return engine
+        return _check_override(
+            engine, supported, levels, h, w, quant, predictor
+        )
     if force_pallas and pallas_codec.supported(levels, h, w, quant, predictor):
         return "pallas"
     if not force_pallas and planar.supported_planar(
@@ -170,22 +176,23 @@ def encode_batch_sharded(
         )
     images = jnp.asarray(images, jnp.uint8)
     spec = _batch_pspec()
+    quant = quantize_fn(quantization)
+    h, w = images.shape[-2:]
+    # Resolve the engine BEFORE the cache key: "auto" and an explicit
+    # override resolving to the same engine share one executable.
+    engine = _engine_for(
+        levels, h, w, quant, predictor, force_pallas=force_pallas,
+        engine=engine,
+    )
     key = (
         "enc", _mesh_key(mesh), images.shape,
-        levels, int(quantization), with_histogram, predictor, force_pallas,
-        engine,
+        levels, int(quantization), with_histogram, predictor, engine,
     )
     fn = _SHARD_CACHE.get(key)
     if fn is None:
         from ..ops.predictors import predictor_fn
 
-        quant = quantize_fn(quantization)
         pred = predictor_fn(predictor)
-        h, w = images.shape[-2:]
-        engine = _engine_for(
-            levels, h, w, quant, predictor, force_pallas=force_pallas,
-            engine=engine,
-        )
 
         def local_encode(imgs):
             if engine == "planar":
@@ -244,20 +251,17 @@ def decode_batch_sharded(
         mesh = make_mesh()
     grids = jnp.asarray(grids, jnp.uint8)
     spec = _batch_pspec()
-    key = (
-        "dec", _mesh_key(mesh), grids.shape, levels, predictor, force_pallas,
-        engine,
+    h, w = grids.shape[-2:]
+    engine = _engine_for(
+        levels, h, w, None, predictor, force_pallas=force_pallas,
+        engine=engine,
     )
+    key = ("dec", _mesh_key(mesh), grids.shape, levels, predictor, engine)
     fn = _SHARD_CACHE.get(key)
     if fn is None:
         from ..ops.predictors import predictor_fn
 
         pred = predictor_fn(predictor)
-        h, w = grids.shape[-2:]
-        engine = _engine_for(
-            levels, h, w, None, predictor, force_pallas=force_pallas,
-            engine=engine,
-        )
 
         def local_decode(gs):
             if engine == "planar":
@@ -289,19 +293,13 @@ def _sub_engine_for(levels, h, w, quant, predictor, force_pallas=False,
     from ..ops import pallas_codec, planar
 
     if engine != "auto":
-        ok = (
-            engine == "xla"
-            or (engine == "planar" and planar.supported_planar(
-                levels, h, w, quant, predictor))
-            or (engine == "pallas" and pallas_codec.supported_subbands(
-                levels, h, w, quant, predictor))
+        supported = (
+            planar.supported_planar if engine == "planar"
+            else pallas_codec.supported_subbands
         )
-        if not ok:
-            raise ValueError(
-                f"engine={engine!r} does not cover levels={levels}, "
-                f"shape=({h}, {w}), predictor={predictor!r}"
-            )
-        return engine
+        return _check_override(
+            engine, supported, levels, h, w, quant, predictor
+        )
     if force_pallas and pallas_codec.supported_subbands(
         levels, h, w, quant, predictor
     ):
@@ -340,21 +338,21 @@ def encode_subbands_batch_sharded(
         mesh = make_mesh()
     images = jnp.asarray(images, jnp.uint8)
     spec = _batch_pspec()
+    quant = quantize_fn(quantization)
+    h, w = images.shape[-2:]
+    engine = _sub_engine_for(
+        levels, h, w, quant, predictor, force_pallas=force_pallas,
+        engine=engine,
+    )
     key = (
         "encsb", _mesh_key(mesh), images.shape,
-        levels, int(quantization), predictor, force_pallas, engine,
+        levels, int(quantization), predictor, engine,
     )
     fn = _SHARD_CACHE.get(key)
     if fn is None:
         from ..ops.predictors import predictor_fn
 
-        quant = quantize_fn(quantization)
         pred = predictor_fn(predictor)
-        h, w = images.shape[-2:]
-        engine = _sub_engine_for(
-            levels, h, w, quant, predictor, force_pallas=force_pallas,
-            engine=engine,
-        )
 
         def local(imgs):
             if engine == "planar":
@@ -409,20 +407,20 @@ def decode_subbands_batch_sharded(
     anchors = jnp.asarray(anchors, jnp.uint8)
     subbands = [tuple(jnp.asarray(q, jnp.uint8) for q in qs) for qs in subbands]
     spec = _batch_pspec()
+    h, w = tuple(shape)[-2:]
+    engine = _sub_engine_for(
+        levels, h, w, None, predictor, force_pallas=force_pallas,
+        engine=engine,
+    )
     key = (
         "decsb", _mesh_key(mesh), anchors.shape, tuple(shape),
-        levels, predictor, force_pallas, engine,
+        levels, predictor, engine,
     )
     fn = _SHARD_CACHE.get(key)
     if fn is None:
         from ..ops.predictors import predictor_fn
 
         pred = predictor_fn(predictor)
-        h, w = tuple(shape)[-2:]
-        engine = _sub_engine_for(
-            levels, h, w, None, predictor, force_pallas=force_pallas,
-            engine=engine,
-        )
 
         def local(a, s):
             if engine == "planar":

@@ -271,6 +271,20 @@ def test_cli_engine_flag(tmp_path):
     # planar does not cover levels < 2: loud error, no silent fallback.
     assert main(["encode", "-i", str(src), "-o", str(tmp_path / "x.hgi"),
                  "-l", "1", "-q", "medium", "--engine", "planar"]) == 1
+    # ...including on the --color path (engine must not be silently
+    # dropped there) and the tiled path (validated BEFORE the retry
+    # tier, so no misleading transient-retry message).
+    rgb = tmp_path / "rgb.png"
+    Image.fromarray(
+        np.zeros((32, 32, 3), np.uint8), mode="RGB"
+    ).save(rgb)
+    assert main(["encode", "-i", str(rgb), "-o", str(tmp_path / "c.thgic"),
+                 "-l", "1", "-q", "medium", "--color",
+                 "--engine", "planar"]) == 1
+    assert main(["encode-tiled", "-i", str(src),
+                 "-o", str(tmp_path / "t2.thgit"), "--tile", "32",
+                 "-l", "1", "-q", "medium", "--format", "thgi",
+                 "--engine", "planar"]) == 1
 
 
 def test_encode_tiled_fast_flag_validation(tmp_path):

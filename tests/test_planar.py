@@ -75,8 +75,9 @@ def test_planar_large_batch_chunked(rng):
     """Batches above _BATCH_CHUNK run chunk-serial — bytes unchanged.
 
     The chunking exists because XLA spills the fused planar working set
-    beyond ~8 planes (chip_probe planarbatch); 20 planes exercises the
-    pad-to-chunk-multiple path (20 -> 3 chunks of 8 with 4 pad planes).
+    beyond ~8 planes (chip_probe planarbatch); 20 planes exercises both
+    paths (2 full lax.map chunks of 8 + a remainder-4 vmap,
+    concatenated).
     """
     import jax
 
@@ -168,17 +169,21 @@ def test_planar_engine_exports_and_reloads(rng):
     """
     from rustyhgi_tpu.models.codec import load_exported
 
-    img = rng.integers(0, 256, (48, 64), dtype=np.uint8)
+    imgs = rng.integers(0, 256, (20, 48, 64), dtype=np.uint8)
     codec = HGICodec(3, "medium", backend="planar")
-    blob = codec.export_encoder(img.shape)
+    # Batched 20-plane shape: the serialized graph contains the lax.map
+    # chunking AND the remainder concat (20 = 2 full chunks + 4).
+    blob = codec.export_encoder(imgs.shape)
     fn = load_exported(blob)
-    grid, recon = fn(img)
-    assert np.array_equal(
-        np.asarray(grid), oracle_encode(img, 3, QuantizationLevel.MEDIUM)
-    )
-    dec_blob = codec.export_decoder(img.shape)
-    dec = load_exported(dec_blob)(np.asarray(grid))
-    assert np.array_equal(np.asarray(dec), np.asarray(recon))
+    grids, recons = fn(imgs)
+    for i in range(20):
+        assert np.array_equal(
+            np.asarray(grids)[i],
+            oracle_encode(imgs[i], 3, QuantizationLevel.MEDIUM),
+        ), i
+    dec_blob = codec.export_decoder(imgs.shape)
+    dec = load_exported(dec_blob)(np.asarray(grids))
+    assert np.array_equal(np.asarray(dec), np.asarray(recons))
 
 
 def test_planar_supported_has_no_width_cap():
